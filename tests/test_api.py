@@ -1,0 +1,261 @@
+"""API-surface behaviour: special-token policy matrix, offsets, pickle,
+model mapping, registry, and constructor invariants.
+
+Mirrors the reference's policy matrix (reference:
+tests/test_encoding.py:175-223), offsets tests (tests/test_offsets.py) and
+misc tests (tests/test_misc.py), running on locally-trained vocabularies.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import tiktoken_tpu
+
+from .helpers import MAX_EXAMPLES, PAT_NAMES, make_encoding, make_oracle
+
+
+# ---------------------------------------------------------------------------
+# Special-token policy matrix
+# ---------------------------------------------------------------------------
+
+
+def test_special_token_policy_matrix():
+    enc = make_encoding("cl100k")
+    eot = "<|endoftext|>"
+    text = f"hello {eot}"
+
+    with pytest.raises(ValueError):
+        enc.encode(text)
+    with pytest.raises(ValueError):
+        enc.encode(text, disallowed_special="all")
+    with pytest.raises(ValueError):
+        enc.encode(text, disallowed_special={eot})
+
+    tokens_allowed = enc.encode(text, allowed_special={eot})
+    assert tokens_allowed[-1] == enc.encode_single_token(eot)
+    assert enc.encode(text, allowed_special="all") == tokens_allowed
+
+    # allowed yet also explicitly disallowed: disallowed wins, raises.
+    with pytest.raises(ValueError):
+        enc.encode(text, allowed_special={eot}, disallowed_special={eot})
+
+    # With the check disabled, special text encodes as ordinary text.
+    assert enc.encode(text, disallowed_special=()) == enc.encode_ordinary(text)
+
+    # Other specials: allowed_special for one token doesn't allow others.
+    text2 = f"{eot}<|im_start|>"
+    with pytest.raises(ValueError):
+        enc.encode(text2, allowed_special={eot})
+    ok = enc.encode(text2, allowed_special={eot}, disallowed_special=())
+    assert ok[0] == enc.encode_single_token(eot)
+
+
+def test_disallowed_error_message_is_actionable():
+    enc = make_encoding("cl100k")
+    with pytest.raises(ValueError, match="disallowed special token"):
+        enc.encode("<|endoftext|>")
+
+
+@pytest.mark.parametrize("pat_name", PAT_NAMES)
+@settings(max_examples=MAX_EXAMPLES // 2, deadline=None)
+@given(text=st.text(max_size=60))
+def test_ordinary_equals_encode_without_specials(pat_name, text):
+    enc = make_encoding(pat_name)
+    assert enc.encode_ordinary(text) == enc.encode(text, disallowed_special=())
+
+
+# ---------------------------------------------------------------------------
+# Offsets
+# ---------------------------------------------------------------------------
+
+
+def _token_offsets_reference(enc, tokens: list[int]) -> list[int]:
+    """Slow-but-obviously-correct oracle: offset of token i is the length of
+    the longest decoded prefix that is a strict prefix in characters
+    (reference: tests/test_offsets.py:19-25)."""
+    text = enc.decode(tokens, errors="strict")
+    offsets = []
+    for i in range(len(tokens)):
+        prefix = enc.decode_bytes(tokens[:i])
+        offsets.append(min(len(text) - 1, len(prefix.decode("utf-8", errors="ignore"))))
+    return offsets
+
+
+@pytest.mark.parametrize("pat_name", PAT_NAMES)
+@settings(max_examples=MAX_EXAMPLES // 2, deadline=None)
+@given(text=st.text(max_size=60))
+def test_decode_with_offsets(pat_name, text):
+    enc = make_encoding(pat_name)
+    oracle = make_oracle(pat_name)
+    tokens = enc.encode(text, disallowed_special=())
+    try:
+        ours_text, ours_offsets = enc.decode_with_offsets(tokens)
+    except UnicodeDecodeError:
+        return
+    theirs_text, theirs_offsets = oracle.decode_with_offsets(tokens)
+    assert (ours_text, ours_offsets) == (theirs_text, list(theirs_offsets))
+    if tokens:
+        assert ours_offsets == _token_offsets_reference(enc, tokens)
+
+
+def test_decode_with_offsets_multibyte_cases():
+    enc = make_encoding("o200k")
+    oracle = make_oracle("o200k")
+    for text in ["你好世界", "தமிழ் மொழி", " 除外", "naïve café", "🌍🌍"]:
+        tokens = enc.encode_ordinary(text)
+        assert enc.decode_with_offsets(tokens) == tuple(oracle.decode_with_offsets(tokens))
+
+
+# ---------------------------------------------------------------------------
+# Decode behaviour
+# ---------------------------------------------------------------------------
+
+
+def test_decode_errors_and_key_errors():
+    enc = make_encoding("cl100k")
+    # default decode is lossy replace
+    bad = [enc.encode_single_token(b"\xc3")] if b"\xc3" in enc._mergeable_ranks else None
+    if bad:
+        assert "�" in enc.decode(bad)
+    with pytest.raises(KeyError):
+        enc.decode_bytes([10**9])
+    with pytest.raises(KeyError):
+        enc.decode_single_token_bytes(10**9)
+    with pytest.raises(KeyError):
+        enc.encode_single_token(b"definitely-not-a-token-xyzzy")
+
+
+def test_decode_batch():
+    enc = make_encoding("cl100k")
+    batches = [enc.encode_ordinary(t) for t in ["hello world", "it's 123", ""]]
+    assert enc.decode_batch(batches) == [enc.decode(b) for b in batches]
+    assert enc.decode_bytes_batch(batches) == [enc.decode_bytes(b) for b in batches]
+
+
+def test_encode_to_numpy():
+    import numpy as np
+
+    enc = make_encoding("cl100k")
+    arr = enc.encode_to_numpy("hello world, it's 123")
+    assert arr.dtype == np.uint32
+    assert arr.tolist() == enc.encode("hello world, it's 123")
+
+
+# ---------------------------------------------------------------------------
+# Constructor invariants
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_ranks_rejected():
+    with pytest.raises(ValueError):
+        tiktoken_tpu.Encoding(
+            "dup",
+            pat_str=r"\s|\S",
+            mergeable_ranks={b"a": 0, b"b": 0},
+            special_tokens={},
+        )
+
+
+def test_explicit_n_vocab_checked():
+    ranks = {bytes([i]): i for i in range(256)}
+    with pytest.raises(AssertionError):
+        tiktoken_tpu.Encoding(
+            "bad_n",
+            pat_str=r"\s|\S",
+            mergeable_ranks=ranks,
+            special_tokens={},
+            explicit_n_vocab=300,
+        )
+    enc = tiktoken_tpu.Encoding(
+        "good_n",
+        pat_str=r"\s|\S",
+        mergeable_ranks=ranks,
+        special_tokens={"<|endoftext|>": 256},
+        explicit_n_vocab=257,
+    )
+    assert enc.n_vocab == 257
+    assert enc.eot_token == 256
+    assert enc.is_special_token(256)
+    assert not enc.is_special_token(0)
+    assert repr(enc) == "<Encoding 'good_n'>"
+
+
+# ---------------------------------------------------------------------------
+# Pickle
+# ---------------------------------------------------------------------------
+
+
+def test_pickle_custom_encoding():
+    enc = make_encoding("cl100k")
+    enc2 = pickle.loads(pickle.dumps(enc))
+    assert enc2.encode_ordinary("hello world") == enc.encode_ordinary("hello world")
+    assert enc2.name == enc.name
+
+
+def test_pickle_registered_encoding_by_name(monkeypatch):
+    import tiktoken_tpu.registry as registry
+
+    enc = make_encoding("cl100k")
+    monkeypatch.setitem(registry.ENCODINGS, enc.name, enc)
+    payload = pickle.dumps(enc)
+    # Registered encodings pickle by name reference: the payload must not
+    # embed the whole rank table.
+    assert len(payload) < 1000
+    enc2 = pickle.loads(payload)
+    assert enc2 is enc or enc2.__dict__ is enc.__dict__
+
+
+# ---------------------------------------------------------------------------
+# Model mapping and registry
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_name_for_model():
+    from tiktoken_tpu import encoding_name_for_model
+
+    assert encoding_name_for_model("gpt2") == "gpt2"
+    assert encoding_name_for_model("gpt-4o") == "o200k_base"
+    assert encoding_name_for_model("gpt-4o-2024-05-13") == "o200k_base"
+    assert encoding_name_for_model("gpt-4-0314") == "cl100k_base"
+    assert encoding_name_for_model("gpt-3.5-turbo-0301") == "cl100k_base"
+    assert encoding_name_for_model("davinci") == "r50k_base"
+    assert encoding_name_for_model("text-davinci-003") == "p50k_base"
+    assert encoding_name_for_model("code-davinci-edit-001") == "p50k_edit"
+    assert encoding_name_for_model("gpt-oss-120b") == "o200k_harmony"
+    assert encoding_name_for_model("o1-mini") == "o200k_base"
+    with pytest.raises(KeyError):
+        encoding_name_for_model("definitely-not-a-model")
+
+
+def test_registry_lists_shipped_encodings():
+    names = tiktoken_tpu.list_encoding_names()
+    for expected in (
+        "gpt2",
+        "r50k_base",
+        "p50k_base",
+        "p50k_edit",
+        "cl100k_base",
+        "o200k_base",
+        "o200k_harmony",
+    ):
+        assert expected in names
+
+
+def test_get_encoding_type_error():
+    with pytest.raises(ValueError):
+        tiktoken_tpu.get_encoding(123)  # type: ignore[arg-type]
+
+
+def test_harmony_specials_shape():
+    # The o200k_harmony constructor's special-token table has the quirky
+    # duplicate id 200018 and the full reserved range; check the table
+    # without needing the (network-gated) vocab.
+    from tiktoken_tpu_ext.openai_public import _HARMONY_NAMED
+
+    assert _HARMONY_NAMED[200012] == "<|call|>"
+    assert 200018 not in _HARMONY_NAMED  # endofprompt comes from the base table
