@@ -1,0 +1,93 @@
+"""Compiled-artifact caching.
+
+Pattern compilation (regex -> scanner DFA) and vocab compilation (rank
+table -> device arrays) are deterministic and moderately expensive, so we
+cache them on disk next to the vocab cache, the same way the reference
+caches downloaded vocab files (reference: tiktoken/load.py:35-86). Keys
+include the compiler version and the Unicode data version so stale
+artifacts are never reused.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+import numpy as np
+
+COMPILER_VERSION = 4  # bump to invalidate every cached artifact
+
+
+def _artifact_dir() -> str | None:
+    for var in ("TIKTOKEN_TPU_CACHE_DIR", "TIKTOKEN_CACHE_DIR", "DATA_GYM_CACHE_DIR"):
+        if var in os.environ:
+            d = os.environ[var]
+            if d == "":
+                return None
+            return os.path.join(d, "compiled")
+    return os.path.join(tempfile.gettempdir(), "tiktoken-tpu-compiled")
+
+
+def artifact_key(kind: str, payload: bytes) -> str:
+    import unicodedata
+
+    meta = f"{kind}:v{COMPILER_VERSION}:u{unicodedata.unidata_version}:".encode()
+    return hashlib.sha256(meta + payload).hexdigest()
+
+
+def load_arrays(key: str) -> dict[str, np.ndarray] | None:
+    d = _artifact_dir()
+    if d is None:
+        return None
+    path = os.path.join(d, key + ".npz")
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
+
+
+def store_arrays(key: str, arrays: dict[str, np.ndarray]) -> None:
+    d = _artifact_dir()
+    if d is None:
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, key + ".npz")
+        tmp = f"{path}.{uuid.uuid4()}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.rename(tmp, path)
+    except OSError:
+        pass  # caching is best-effort, like the reference's vocab cache
+
+
+def cached_scanner_dfa(pat_str: str):
+    """Disk-cached :func:`tiktoken_tpu.ops.regex_compiler.compile_pattern`."""
+    from tiktoken_tpu.ops.regex_compiler import ScannerDFA, compile_pattern
+
+    key = artifact_key("scanner-dfa", pat_str.encode())
+    arrays = load_arrays(key)
+    if arrays is not None:
+        return ScannerDFA(
+            trans=arrays["trans"],
+            accept=arrays["accept"],
+            class_of=arrays["class_of"],
+            n_states=int(arrays["trans"].shape[0]),
+            n_classes=int(arrays["trans"].shape[1]),
+            pat_str=pat_str,
+        )
+    dfa = compile_pattern(pat_str)
+    store_arrays(
+        key,
+        {"trans": dfa.trans, "accept": dfa.accept, "class_of": dfa.class_of},
+    )
+    return dfa
