@@ -1,0 +1,156 @@
+"""Benchmark: o200k-pattern BPE encode throughput on one chip.
+
+Prints ONE json line:
+    {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+vs_baseline is measured against the reference library's own single-thread
+throughput on this machine's CPU with the identical vocabulary and
+pattern (the reference's published numbers, BASELINE.md, were ~6.4 MB/s
+single-thread / ~38 MB/s peak on unspecified hardware).
+
+Offline-safe: the real o200k_base vocab cannot be downloaded in this
+environment, so a same-scale vocabulary is trained locally (cached) with
+the real o200k split pattern; the reference library is given the same
+vocab, so the comparison is apples-to-apples and byte-exact parity is
+asserted on every run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS_MB = float(os.environ.get("BENCH_CORPUS_MB", "64"))
+VOCAB_SIZE = int(os.environ.get("BENCH_VOCAB", "100000"))
+ROW = int(os.environ.get("BENCH_ROW", "2048"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_vocab_and_corpus():
+    import numpy as np
+
+    from tiktoken_tpu.load import dump_tiktoken_bpe, load_tiktoken_bpe
+    from tiktoken_tpu.ops.artifacts import _artifact_dir
+    import tiktoken_tpu_ext.openai_public as pub
+
+    from tests.helpers import make_mixed_corpus
+
+    cache_dir = _artifact_dir() or "/tmp/tiktoken-tpu-compiled"
+    os.makedirs(cache_dir, exist_ok=True)
+    vocab_path = os.path.join(cache_dir, f"bench_vocab_{VOCAB_SIZE}.tiktoken")
+    if os.path.exists(vocab_path):
+        log(f"loading cached bench vocab {vocab_path}")
+        ranks = load_tiktoken_bpe(vocab_path)
+    else:
+        log(f"training {VOCAB_SIZE}-rank vocab on mixed corpus (one-time)...")
+        from tiktoken_tpu.train import train_bpe
+
+        t0 = time.time()
+        ranks = train_bpe(
+            [make_mixed_corpus(8_000_000, seed=1)], VOCAB_SIZE, pub.o200k_pat_str,
+            min_pair_count=2,
+        )
+        log(f"trained {len(ranks)} ranks in {time.time()-t0:.0f}s")
+        dump_tiktoken_bpe(ranks, vocab_path)
+
+    n = int(CORPUS_MB * 1_000_000)
+    log(f"building {CORPUS_MB} MB corpus...")
+    chunk = make_mixed_corpus(2_000_000, seed=7)
+    reps = max(1, n // len(chunk.encode())) + 1
+    corpus = (chunk * reps).encode()[:n]
+    # ensure valid utf-8 at the cut
+    while corpus[-1] & 0xC0 == 0x80:
+        corpus = corpus[:-1]
+    return ranks, corpus
+
+
+def main() -> None:
+    import numpy as np
+
+    import tiktoken_tpu
+    import tiktoken_tpu_ext.openai_public as pub
+
+    ranks, corpus = get_vocab_and_corpus()
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    enc = tiktoken_tpu.Encoding(
+        "bench_o200k",
+        pat_str=pub.o200k_pat_str,
+        mergeable_ranks=ranks,
+        special_tokens={"<|endoftext|>": len(ranks)},
+    )
+
+    # split the corpus into documents like scripts/benchmark.py would
+    docs = []
+    step = 1_000_000
+    for i in range(0, len(corpus), step):
+        d = corpus[i : i + step]
+        while d and d[-1] & 0xC0 == 0x80:
+            d = d[:-1]
+        docs.append(d.decode("utf-8", errors="ignore"))
+    total_bytes = sum(len(d.encode()) for d in docs)
+
+    engine = enc.device_engine
+    log(f"transducer states={engine.transducer.n_states}, "
+        f"pair table={engine.pair_table.n_pairs} pairs, "
+        f"max_probes={engine.pair_table.max_probes}")
+
+    # warmup (compile)
+    log("warmup/compile...")
+    _ = enc.encode_corpus(docs[:1])
+
+    log("timing device encode_corpus...")
+    t0 = time.perf_counter_ns()
+    device_tokens = enc.encode_corpus(docs)
+    t1 = time.perf_counter_ns()
+    device_mbs = total_bytes / ((t1 - t0) / 1e9) / 1e6
+
+    # parity spot check vs the reference library on a sample
+    import tiktoken
+
+    oracle = tiktoken.Encoding(
+        "bench_oracle", pat_str=pub.o200k_pat_str, mergeable_ranks=ranks,
+        special_tokens={"<|endoftext|>": len(ranks)},
+    )
+    parity = all(
+        device_tokens[i] == oracle.encode_ordinary(docs[i])
+        for i in range(0, len(docs), max(1, len(docs) // 8))
+    )
+    log(f"parity vs reference: {parity}")
+
+    # reference single-thread baseline on a subsample
+    sample = docs[: max(1, len(docs) // 8)]
+    sample_bytes = sum(len(d.encode()) for d in sample)
+    _ = oracle.encode_ordinary_batch(sample[:1], num_threads=1)
+    t0 = time.perf_counter_ns()
+    _ = oracle.encode_ordinary_batch(sample, num_threads=1)
+    t1 = time.perf_counter_ns()
+    ref_mbs = sample_bytes / ((t1 - t0) / 1e9) / 1e6
+    log(f"device: {device_mbs:.1f} MB/s | reference 1-thread: {ref_mbs:.1f} MB/s")
+
+    if not parity:
+        device_mbs = 0.0  # a wrong tokenizer has no throughput
+
+    print(
+        json.dumps(
+            {
+                "metric": "o200k-pattern encode throughput (1 chip, byte-exact)",
+                "value": round(device_mbs, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(device_mbs / max(ref_mbs, 1e-9), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

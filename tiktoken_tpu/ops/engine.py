@@ -1,0 +1,297 @@
+"""The TPU device engine: packed byte blocks -> token ids, end to end.
+
+Pipeline (all device work under one jit):
+
+    bytes [B, K+LOOK] --class map + EOF injection--> classes
+        --window scan (ops/window_scan.py): exact match-end hop per
+          position, no sequential dependencies-->
+    hop [B, K] + unresolved flags
+        --pointer-doubling orbit--> piece-start mask [B, K]
+        --per-piece lockstep greedy merge (ops/merge.py)-->
+    token ids at surviving positions
+        --in-block compaction (cumsum + scatter)-->
+    packed tokens [B, K] + counts [B]
+
+Host side, the packer slices documents into rows at *safe split points* —
+positions guaranteed to start a piece in any context (a \\r or \\n
+followed by an ASCII letter; no shipped pattern's alternative can span
+newline->letter) — so rows tokenize independently. Each row carries LOOK
+bytes of true continuation so match ends near the row edge resolve
+exactly; document ends are EOF-injected in-band.
+
+Rows the device cannot finish exactly fall back to the host oracle and
+are surfaced in stats: documents with no safe split within a row
+(hard cut), pieces longer than the scan window (unresolved on the
+boundary chain), and invalid UTF-8. Fallbacks are rare and never silent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+from tiktoken_tpu.ops import artifacts
+from tiktoken_tpu.ops.merge import make_merge_fn
+from tiktoken_tpu.ops.pair_table import PairTable, build_pair_table
+from tiktoken_tpu.ops.regex_compiler import ScannerDFA
+from tiktoken_tpu.ops.window_scan import DEFAULT_WINDOW, make_orbit_fn, make_window_scan_fn
+
+LOOK = 16  # true continuation bytes per row
+DEFAULT_ROW = 2048  # payload bytes per row
+
+
+def _find_safe_splits(data: np.ndarray) -> np.ndarray:
+    """Offsets i such that data[i-1] in {\\r, \\n} and data[i] is an ASCII
+    letter: guaranteed piece starts for all shipped patterns."""
+    if len(data) < 2:
+        return np.zeros(0, dtype=np.int64)
+    prev_nl = (data[:-1] == 0x0A) | (data[:-1] == 0x0D)
+    is_letter = ((data[1:] >= 0x41) & (data[1:] <= 0x5A)) | (
+        (data[1:] >= 0x61) & (data[1:] <= 0x7A)
+    )
+    return np.nonzero(prev_nl & is_letter)[0] + 1
+
+
+@dataclass
+class PackedBatch:
+    rows: np.ndarray  # [B, K+LOOK] uint8
+    n_payload: np.ndarray  # [B] int32: payload bytes in the row
+    n_total: np.ndarray  # [B] int32: payload+lookahead bytes actually valid
+    doc_index: np.ndarray  # [B] int32: which document each row belongs to
+    hard_cut_docs: frozenset  # docs with a row cut at an unsafe position
+    row_capacity: int  # K
+
+
+def pack_documents(docs: Sequence[bytes], row_capacity: int = DEFAULT_ROW) -> PackedBatch:
+    """Slice documents into independent rows at safe split points."""
+    K = row_capacity
+    rows: list[np.ndarray] = []
+    n_payload: list[int] = []
+    n_total: list[int] = []
+    doc_idx: list[int] = []
+    hard_cut: set[int] = set()
+
+    for d_i, doc in enumerate(docs):
+        data = np.frombuffer(doc, dtype=np.uint8)
+        n = len(data)
+        if n == 0:
+            continue
+        splits = _find_safe_splits(data)
+        pos = 0
+        while pos < n:
+            if n - pos <= K:
+                end = n
+            else:
+                lo = np.searchsorted(splits, pos + 1)
+                hi = np.searchsorted(splits, pos + K, side="right")
+                usable = splits[lo:hi]
+                if len(usable):
+                    end = int(usable[-1])
+                else:
+                    end = pos + K  # hard cut: not independently tokenizable
+                    hard_cut.add(d_i)
+            payload = data[pos:end]
+            look = data[end : end + LOOK]
+            row = np.zeros(K + LOOK, dtype=np.uint8)
+            row[: len(payload)] = payload
+            row[len(payload) : len(payload) + len(look)] = look
+            rows.append(row)
+            n_payload.append(len(payload))
+            n_total.append(len(payload) + len(look))
+            doc_idx.append(d_i)
+            pos = end
+
+    if not rows:
+        return PackedBatch(
+            rows=np.zeros((0, K + LOOK), dtype=np.uint8),
+            n_payload=np.zeros(0, dtype=np.int32),
+            n_total=np.zeros(0, dtype=np.int32),
+            doc_index=np.zeros(0, dtype=np.int32),
+            hard_cut_docs=frozenset(),
+            row_capacity=K,
+        )
+    return PackedBatch(
+        rows=np.stack(rows),
+        n_payload=np.asarray(n_payload, dtype=np.int32),
+        n_total=np.asarray(n_total, dtype=np.int32),
+        doc_index=np.asarray(doc_idx, dtype=np.int32),
+        hard_cut_docs=frozenset(hard_cut),
+        row_capacity=K,
+    )
+
+
+class DeviceEngine:
+    """Compiled tables + jitted pipeline for one (pat_str, vocab)."""
+
+    def __init__(self, dfa: ScannerDFA, pair_table: PairTable, name: str,
+                 window: int = DEFAULT_WINDOW):
+        self.dfa = dfa
+        self.pair_table = pair_table
+        self.name = name
+        self.window = window
+        self._jitted: dict[tuple[int, int], object] = {}
+        self._device_arrays = None
+        self.stats = {"rows": 0, "fallback_docs": 0}
+
+    @staticmethod
+    def build(pat_str: str, mergeable_ranks: dict[bytes, int], *, name: str = "?"):
+        dfa = artifacts.cached_scanner_dfa(pat_str)
+        pt = _cached_pair_table(mergeable_ranks)
+        return DeviceEngine(dfa, pt, name)
+
+    # -- device plumbing ----------------------------------------------------
+
+    def _tables(self):
+        if self._device_arrays is None:
+            import jax.numpy as jnp
+
+            dfa, pt = self.dfa, self.pair_table
+            self._device_arrays = dict(
+                trans=jnp.asarray(dfa.trans.astype(np.int32)),
+                accept=jnp.asarray(dfa.accept.astype(np.int32)),
+                class_of=jnp.asarray(dfa.class_of.astype(np.int32)),
+                keys_a=jnp.asarray(pt.keys_a),
+                keys_b=jnp.asarray(pt.keys_b),
+                vals=jnp.asarray(pt.vals),
+                byte_to_rank=jnp.asarray(pt.byte_to_rank),
+            )
+        return self._device_arrays
+
+    def _pipeline(self, B: int, KL: int):
+        key = (B, KL)
+        fn = self._jitted.get(key)
+        if fn is not None:
+            return fn
+
+        import jax
+        import jax.numpy as jnp
+
+        K = KL - LOOK
+        W = self.window
+        eof_cls = int(self.dfa.class_of[256])
+        scan_fn = make_window_scan_fn(W, self.dfa.n_states, self.dfa.n_classes)
+        orbit_fn = make_orbit_fn(K)
+        merge_fn = make_merge_fn(self.pair_table.max_probes, self.pair_table.size)
+
+        def pipeline(
+            trans, accept, class_of, keys_a, keys_b, vals, byte_to_rank,
+            rows, n_payload, n_total,
+        ):
+            idx = jnp.arange(KL, dtype=jnp.int32)
+            cls = class_of[rows.astype(jnp.int32)]
+            cls = jnp.where(idx[None, :] >= n_total[:, None], eof_cls, cls)
+            # Window lookahead region beyond the row: EOF fill (only runs
+            # already dead by then can observe it; see module docstring).
+            cls_ext = jnp.concatenate(
+                [cls, jnp.full((rows.shape[0], max(0, W - LOOK)), eof_cls, cls.dtype)],
+                axis=1,
+            )
+
+            hop, unresolved = scan_fn(trans, accept, cls_ext)  # [B, K]
+            piece_start = orbit_fn(hop, n_payload)
+
+            # rows the device cannot resolve exactly:
+            bad = piece_start & (unresolved | (hop <= 0))
+            row_bad = bad.any(axis=1)
+
+            valid = idx[None, :K] < n_payload[:, None]
+            tok, alive, rounds = merge_fn(
+                keys_a, keys_b, vals, byte_to_rank,
+                rows[:, :K], piece_start, valid,
+            )
+            alive = alive & valid
+
+            pos = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+            counts = jnp.sum(alive.astype(jnp.int32), axis=1)
+            row_i = jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None]
+            packed = jnp.zeros(alive.shape, dtype=jnp.uint32).at[
+                row_i, jnp.where(alive, pos, K - 1)
+            ].max(jnp.where(alive, tok, 0))
+            return packed, counts, rounds, row_bad
+
+        fn = jax.jit(pipeline)
+        self._jitted[key] = fn
+        return fn
+
+    # -- public -----------------------------------------------------------
+
+    def encode_rows(self, batch: PackedBatch):
+        """Run the device pipeline. Returns (packed [B,K], counts [B],
+        row_bad [B]) as numpy arrays."""
+        tables = self._tables()
+        B, KL = batch.rows.shape
+        fn = self._pipeline(B, KL)
+        packed, counts, _rounds, row_bad = fn(
+            tables["trans"], tables["accept"], tables["class_of"],
+            tables["keys_a"], tables["keys_b"], tables["vals"],
+            tables["byte_to_rank"],
+            batch.rows, batch.n_payload, batch.n_total,
+        )
+        self.stats["rows"] += B
+        return np.asarray(packed), np.asarray(counts), np.asarray(row_bad)
+
+    def encode_corpus(self, texts, host_fallback=None, row_capacity: int = DEFAULT_ROW):
+        """Encode documents on device; byte-exact with encode_ordinary."""
+        docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
+        batch = pack_documents(docs, row_capacity)
+        out: list = [[] for _ in docs]
+        if batch.rows.shape[0] == 0:
+            return out
+        packed, counts, row_bad = self.encode_rows(batch)
+        fallback_docs = set(batch.hard_cut_docs)
+        for row in np.nonzero(row_bad)[0]:
+            fallback_docs.add(int(batch.doc_index[row]))
+        for row in range(packed.shape[0]):
+            d = int(batch.doc_index[row])
+            if d in fallback_docs:
+                continue
+            out[d].extend(packed[row, : counts[row]].tolist())
+        if fallback_docs:
+            self.stats["fallback_docs"] += len(fallback_docs)
+            if host_fallback is None:
+                raise ValueError(
+                    f"{len(fallback_docs)} documents need host fallback but none given"
+                )
+            for d in fallback_docs:
+                out[d] = host_fallback.encode_ordinary(docs[d].decode("utf-8"))
+        return out
+
+
+def _pair_table_fingerprint(mergeable_ranks: dict[bytes, int]) -> bytes:
+    import hashlib
+
+    h = hashlib.sha256()
+    for token, rank in sorted(mergeable_ranks.items(), key=lambda kv: kv[1]):
+        h.update(token)
+        h.update(rank.to_bytes(4, "little"))
+    return h.digest()
+
+
+def _cached_pair_table(mergeable_ranks: dict[bytes, int]) -> PairTable:
+    key = artifacts.artifact_key("pair-table", _pair_table_fingerprint(mergeable_ranks))
+    arrays = artifacts.load_arrays(key)
+    if arrays is not None:
+        return PairTable(
+            keys_a=arrays["keys_a"],
+            keys_b=arrays["keys_b"],
+            vals=arrays["vals"],
+            size=int(arrays["keys_a"].shape[0]),
+            max_probes=int(arrays["meta"][0]),
+            n_pairs=int(arrays["meta"][1]),
+            byte_to_rank=arrays["byte_to_rank"],
+            n_vocab=int(arrays["meta"][2]),
+        )
+    pt = build_pair_table(mergeable_ranks)
+    artifacts.store_arrays(
+        key,
+        {
+            "keys_a": pt.keys_a,
+            "keys_b": pt.keys_b,
+            "vals": pt.vals,
+            "byte_to_rank": pt.byte_to_rank,
+            "meta": np.asarray([pt.max_probes, pt.n_pairs, pt.n_vocab], dtype=np.int64),
+        },
+    )
+    return pt
