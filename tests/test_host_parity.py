@@ -179,3 +179,20 @@ def test_batch_matches_sequential(pat_name, texts):
     assert enc.encode_batch(texts, num_threads=2, disallowed_special=()) == [
         enc.encode(t, disallowed_special=()) for t in texts
     ]
+
+
+@pytest.mark.parametrize("pat_name", PAT_NAMES)
+def test_unicode_skew_codepoints_parity(pat_name):
+    """Codepoints whose category differs between the local regex module and
+    the reference engine's Unicode data must still split identically (the
+    host path defers them to the scanner DFA). Regression: U+323B0 (CJK
+    Ext J, added after the reference's Unicode version) made the piece
+    split — and therefore the unstable tail — diverge."""
+    enc = make_encoding(pat_name)
+    oracle = make_oracle(pat_name)
+    for text in ["A\U000323b0", ":\U0003291c", "\U000323b0x 1", "a \U00031350b"]:
+        assert enc.encode_ordinary(text) == oracle.encode_ordinary(text), repr(text)
+        ours_stable, ours_comp = enc.encode_with_unstable(text)
+        theirs_stable, theirs_comp = oracle.encode_with_unstable(text)
+        assert ours_stable == theirs_stable, repr(text)
+        assert {tuple(c) for c in ours_comp} == {tuple(c) for c in theirs_comp}, repr(text)

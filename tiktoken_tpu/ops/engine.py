@@ -122,6 +122,77 @@ def pack_documents(docs: Sequence[bytes], row_capacity: int = DEFAULT_ROW) -> Pa
     )
 
 
+def build_pipeline_fn(
+    *,
+    row_total: int,
+    window: int,
+    n_states: int,
+    n_classes: int,
+    eof_cls: int,
+    max_probes: int,
+    table_size: int,
+):
+    """Build the pure, jittable device pipeline for static geometry.
+
+    Signature of the returned fn (all jax arrays):
+        (trans [S,C] i32, accept [S] i32, class_of [257] i32,
+         keys_a/keys_b/vals [T] u32, byte_to_rank [256] u32,
+         rows [B, K+LOOK] u8, n_payload [B] i32, n_total [B] i32)
+        -> (packed [B,K] u32, counts [B] i32, rounds i32, row_bad [B] bool)
+
+    This is the framework's "forward step": bytes in, token ids out. It is
+    shape-polymorphic over the batch dim B, so the same fn jits per row
+    geometry and shards over B (tiktoken_tpu.parallel.encode).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    KL = row_total
+    K = KL - LOOK
+    W = window
+    scan_fn = make_window_scan_fn(W, n_states, n_classes)
+    orbit_fn = make_orbit_fn(K)
+    merge_fn = make_merge_fn(max_probes, table_size)
+
+    def pipeline(
+        trans, accept, class_of, keys_a, keys_b, vals, byte_to_rank,
+        rows, n_payload, n_total,
+    ):
+        idx = jnp.arange(KL, dtype=jnp.int32)
+        cls = class_of[rows.astype(jnp.int32)]
+        cls = jnp.where(idx[None, :] >= n_total[:, None], eof_cls, cls)
+        # Window lookahead region beyond the row: EOF fill (only runs
+        # already dead by then can observe it; see module docstring).
+        cls_ext = jnp.concatenate(
+            [cls, jnp.full((rows.shape[0], max(0, W - LOOK)), eof_cls, cls.dtype)],
+            axis=1,
+        )
+
+        hop, unresolved = scan_fn(trans, accept, cls_ext)  # [B, K]
+        piece_start = orbit_fn(hop, n_payload)
+
+        # rows the device cannot resolve exactly:
+        bad = piece_start & (unresolved | (hop <= 0))
+        row_bad = bad.any(axis=1)
+
+        valid = idx[None, :K] < n_payload[:, None]
+        tok, alive, rounds = merge_fn(
+            keys_a, keys_b, vals, byte_to_rank,
+            rows[:, :K], piece_start, valid,
+        )
+        alive = alive & valid
+
+        pos = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+        counts = jnp.sum(alive.astype(jnp.int32), axis=1)
+        row_i = jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None]
+        packed = jnp.zeros(alive.shape, dtype=jnp.uint32).at[
+            row_i, jnp.where(alive, pos, K - 1)
+        ].max(jnp.where(alive, tok, 0))
+        return packed, counts, rounds, row_bad
+
+    return pipeline
+
+
 class DeviceEngine:
     """Compiled tables + jitted pipeline for one (pat_str, vocab)."""
 
@@ -159,59 +230,27 @@ class DeviceEngine:
             )
         return self._device_arrays
 
+    def pipeline_fn(self, row_total: int):
+        """The pure (unjitted) pipeline for this engine's tables at the
+        given row geometry. Shape-polymorphic over the batch dim."""
+        return build_pipeline_fn(
+            row_total=row_total,
+            window=self.window,
+            n_states=self.dfa.n_states,
+            n_classes=self.dfa.n_classes,
+            eof_cls=int(self.dfa.class_of[256]),
+            max_probes=self.pair_table.max_probes,
+            table_size=self.pair_table.size,
+        )
+
     def _pipeline(self, B: int, KL: int):
         key = (B, KL)
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
-
         import jax
-        import jax.numpy as jnp
 
-        K = KL - LOOK
-        W = self.window
-        eof_cls = int(self.dfa.class_of[256])
-        scan_fn = make_window_scan_fn(W, self.dfa.n_states, self.dfa.n_classes)
-        orbit_fn = make_orbit_fn(K)
-        merge_fn = make_merge_fn(self.pair_table.max_probes, self.pair_table.size)
-
-        def pipeline(
-            trans, accept, class_of, keys_a, keys_b, vals, byte_to_rank,
-            rows, n_payload, n_total,
-        ):
-            idx = jnp.arange(KL, dtype=jnp.int32)
-            cls = class_of[rows.astype(jnp.int32)]
-            cls = jnp.where(idx[None, :] >= n_total[:, None], eof_cls, cls)
-            # Window lookahead region beyond the row: EOF fill (only runs
-            # already dead by then can observe it; see module docstring).
-            cls_ext = jnp.concatenate(
-                [cls, jnp.full((rows.shape[0], max(0, W - LOOK)), eof_cls, cls.dtype)],
-                axis=1,
-            )
-
-            hop, unresolved = scan_fn(trans, accept, cls_ext)  # [B, K]
-            piece_start = orbit_fn(hop, n_payload)
-
-            # rows the device cannot resolve exactly:
-            bad = piece_start & (unresolved | (hop <= 0))
-            row_bad = bad.any(axis=1)
-
-            valid = idx[None, :K] < n_payload[:, None]
-            tok, alive, rounds = merge_fn(
-                keys_a, keys_b, vals, byte_to_rank,
-                rows[:, :K], piece_start, valid,
-            )
-            alive = alive & valid
-
-            pos = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
-            counts = jnp.sum(alive.astype(jnp.int32), axis=1)
-            row_i = jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None]
-            packed = jnp.zeros(alive.shape, dtype=jnp.uint32).at[
-                row_i, jnp.where(alive, pos, K - 1)
-            ].max(jnp.where(alive, tok, 0))
-            return packed, counts, rounds, row_bad
-
-        fn = jax.jit(pipeline)
+        fn = jax.jit(self.pipeline_fn(KL))
         self._jitted[key] = fn
         return fn
 

@@ -1,0 +1,216 @@
+"""Data-parallel corpus encoding over a device mesh.
+
+Replaces the reference's ThreadPoolExecutor batch layer (reference:
+tiktoken/core.py:164-206) with SPMD over a ``jax.sharding.Mesh``: packed
+byte rows are sharded along the batch axis, the compiled tables are
+replicated, and one jitted program runs on every chip. Per-shard counters
+are reduced with ``jax.lax.psum`` over the mesh axis (ICI within a slice,
+DCN across slices) via ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+from tiktoken_tpu.ops.engine import LOOK, DeviceEngine, PackedBatch, pack_documents
+from tiktoken_tpu.parallel.mesh import DATA_AXIS, batch_sharded, replicated
+
+_TABLE_NAMES = (
+    "trans", "accept", "class_of", "keys_a", "keys_b", "vals", "byte_to_rank"
+)
+
+
+@dataclass
+class CorpusStats:
+    """psum-reduced, mesh-replicated corpus counters."""
+
+    rows: int
+    payload_bytes: int
+    tokens: int
+    fallback_rows: int
+    merge_rounds: int
+
+
+class ShardedEngine:
+    """A :class:`DeviceEngine` spread over a 1-D data mesh.
+
+    Rows are padded to a multiple of the mesh size and sharded along the
+    batch dim; empty padding rows tokenize to zero tokens, so results are
+    unaffected. Tables are replicated (they are a few MB; see SURVEY.md
+    §2.4). The whole pipeline is a single pjit-style program: XLA inserts
+    no collectives in the forward pass (rows are independent) and one
+    all-reduce for the stats, exactly what the topology wants.
+    """
+
+    def __init__(self, engine: DeviceEngine, mesh, *, axis: str = DATA_AXIS):
+        self.engine = engine
+        self.mesh = mesh
+        self.axis = axis
+        self.n_devices = mesh.devices.size
+        self._jitted: dict[int, object] = {}
+        self._sharded_tables = None
+        self.stats = {"rows": 0, "fallback_docs": 0}
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _tables(self):
+        if self._sharded_tables is None:
+            import jax
+
+            rep = replicated(self.mesh, self.axis)
+            host = self.engine._tables()
+            self._sharded_tables = {
+                k: jax.device_put(np.asarray(host[k]), rep) for k in _TABLE_NAMES
+            }
+        return self._sharded_tables
+
+    def _program(self, KL: int):
+        fn = self._jitted.get(KL)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        pipeline = self.engine.pipeline_fn(KL)
+        axis = self.axis
+        mesh = self.mesh
+        rep = P()
+        row2 = P(axis, None)
+        row1 = P(axis)
+
+        def per_shard(
+            trans, accept, class_of, keys_a, keys_b, vals, byte_to_rank,
+            rows, n_payload, n_total,
+        ):
+            packed, counts, rounds, row_bad = pipeline(
+                trans, accept, class_of, keys_a, keys_b, vals, byte_to_rank,
+                rows, n_payload, n_total,
+            )
+            # psum-reduced corpus counters (replicated result): the
+            # collective rides ICI within a slice, DCN across slices.
+            local = jnp.stack(
+                [
+                    jnp.int32(rows.shape[0]),
+                    jnp.sum(n_payload.astype(jnp.int32)),
+                    jnp.sum(counts.astype(jnp.int32)),
+                    jnp.sum(row_bad.astype(jnp.int32)),
+                    rounds.astype(jnp.int32),
+                ]
+            )
+            totals = jax.lax.psum(local, axis)
+            return packed, counts, row_bad, totals
+
+        sharded = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(rep,) * 7 + (row2, row1, row1),
+            out_specs=(row2, row1, row1, rep),
+            check_vma=False,
+        )
+        fn = jax.jit(sharded)
+        self._jitted[KL] = fn
+        return fn
+
+    # -- public ---------------------------------------------------------
+
+    def pad_batch(self, batch: PackedBatch) -> PackedBatch:
+        """Pad the row count to a multiple of the mesh size (empty rows)."""
+        B = batch.rows.shape[0]
+        n = self.n_devices
+        pad = (-B) % n
+        if pad == 0:
+            return batch
+        KL = batch.rows.shape[1]
+        return PackedBatch(
+            rows=np.concatenate(
+                [batch.rows, np.zeros((pad, KL), dtype=np.uint8)]
+            ),
+            n_payload=np.concatenate(
+                [batch.n_payload, np.zeros(pad, dtype=np.int32)]
+            ),
+            n_total=np.concatenate([batch.n_total, np.zeros(pad, dtype=np.int32)]),
+            doc_index=np.concatenate(
+                [batch.doc_index, np.full(pad, -1, dtype=np.int32)]
+            ),
+            hard_cut_docs=batch.hard_cut_docs,
+            row_capacity=batch.row_capacity,
+        )
+
+    def encode_rows(self, batch: PackedBatch):
+        """Run the sharded pipeline. Returns (packed, counts, row_bad,
+        CorpusStats) as host values; padding rows are stripped."""
+        import jax
+
+        B0 = batch.rows.shape[0]
+        batch = self.pad_batch(batch)
+        tables = self._tables()
+        KL = batch.rows.shape[1]
+        fn = self._program(KL)
+
+        shard2 = batch_sharded(self.mesh, self.axis, rank=2)
+        shard1 = batch_sharded(self.mesh, self.axis, rank=1)
+        rows = jax.device_put(batch.rows, shard2)
+        n_payload = jax.device_put(batch.n_payload, shard1)
+        n_total = jax.device_put(batch.n_total, shard1)
+
+        packed, counts, row_bad, totals = fn(
+            *(tables[k] for k in _TABLE_NAMES), rows, n_payload, n_total
+        )
+        totals = np.asarray(totals)
+        stats = CorpusStats(
+            rows=int(totals[0]),
+            payload_bytes=int(totals[1]),
+            tokens=int(totals[2]),
+            fallback_rows=int(totals[3]),
+            merge_rounds=int(totals[4]),
+        )
+        self.stats["rows"] += B0
+        return (
+            np.asarray(packed)[:B0],
+            np.asarray(counts)[:B0],
+            np.asarray(row_bad)[:B0],
+            stats,
+        )
+
+    def encode_corpus(
+        self,
+        texts: Sequence[str | bytes],
+        host_fallback=None,
+        row_capacity: int | None = None,
+    ) -> list[list[int]]:
+        """Encode documents across the mesh; byte-exact with
+        ``encode_ordinary``. Mirrors DeviceEngine.encode_corpus."""
+        row_capacity = row_capacity or batch_default_row()
+        docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
+        batch = pack_documents(docs, row_capacity)
+        out: list[list[int]] = [[] for _ in docs]
+        if batch.rows.shape[0] == 0:
+            return out
+        packed, counts, row_bad, _stats = self.encode_rows(batch)
+        fallback_docs = set(batch.hard_cut_docs)
+        for row in np.nonzero(row_bad)[0]:
+            fallback_docs.add(int(batch.doc_index[row]))
+        for row in range(packed.shape[0]):
+            d = int(batch.doc_index[row])
+            if d < 0 or d in fallback_docs:
+                continue
+            out[d].extend(packed[row, : counts[row]].tolist())
+        if fallback_docs:
+            self.stats["fallback_docs"] += len(fallback_docs)
+            if host_fallback is None:
+                raise ValueError(
+                    f"{len(fallback_docs)} documents need host fallback but none given"
+                )
+            for d in fallback_docs:
+                out[d] = host_fallback.encode_ordinary(docs[d].decode("utf-8"))
+        return out
+
+
+def batch_default_row() -> int:
+    from tiktoken_tpu.ops.engine import DEFAULT_ROW
+
+    return DEFAULT_ROW
