@@ -33,28 +33,84 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def get_vocab_and_corpus():
-    import numpy as np
+def make_bench_corpus(n_chars: int, seed: int) -> str:
+    """Natural-text-like synthetic corpus with enough lexical diversity to
+    support a ~100k-rank vocabulary: a 60k-word syllable lexicon sampled
+    zipf-ish, mixed with digits, punctuation, multi-script words, and
+    varied whitespace (word frequencies and shapes roughly mirror real
+    prose, so merge behaviour and piece-length stats are realistic)."""
+    import random
 
+    rng = random.Random(seed)
+    onsets = ["b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "n", "p",
+              "r", "s", "t", "v", "w", "z", "ch", "sh", "th", "st", "tr",
+              "pl", "br", "gr", "sp", ""]
+    vowels = ["a", "e", "i", "o", "u", "ai", "ee", "ou", "io", "ea"]
+    codas = ["", "", "n", "r", "s", "t", "l", "m", "ng", "ck", "st", "rd"]
+
+    lex_rng = random.Random(1234)
+    lexicon = []
+    seen = set()
+    while len(lexicon) < 60_000:
+        w = "".join(
+            lex_rng.choice(onsets) + lex_rng.choice(vowels) + lex_rng.choice(codas)
+            for _ in range(lex_rng.randrange(1, 4))
+        )
+        if w and w not in seen:
+            seen.add(w)
+            lexicon.append(w)
+
+    uni = ("naïve café jalapeño Zürich Москва привет мир 東京 こんにちは 世界 "
+           "你好 北京 مرحبا שלום Ελληνικά κόσμος हिन्दी 한국어").split()
+    punct = [".", ",", "!", "?", ";", ":", "(", ")", "\"", "'", "...", "-", "/"]
+    ws = [" "] * 12 + ["\n", "\n\n", "\r\n", "\t", "  "]
+
+    out: list[str] = []
+    size = 0
+    while size < n_chars:
+        r = rng.random()
+        if r < 0.80:
+            # zipf-ish: rank ~ floor(exp(u*ln(V)))
+            rank = int(len(lexicon) ** rng.random()) - 1
+            tok = lexicon[rank]
+            if rng.random() < 0.12:
+                tok = tok.capitalize()
+        elif r < 0.86:
+            tok = str(rng.randrange(10 ** rng.randrange(1, 7)))
+        elif r < 0.92:
+            tok = rng.choice(punct)
+        elif r < 0.95:
+            tok = rng.choice(uni)
+        else:
+            tok = rng.choice(ws)
+            out.append(tok)
+            size += len(tok)
+            continue
+        sep = rng.choice(ws)
+        out.append(tok)
+        out.append(sep)
+        size += len(tok) + len(sep)
+    return "".join(out)
+
+
+def get_vocab_and_corpus():
     from tiktoken_tpu.load import dump_tiktoken_bpe, load_tiktoken_bpe
     from tiktoken_tpu.ops.artifacts import _artifact_dir
     import tiktoken_tpu_ext.openai_public as pub
 
-    from tests.helpers import make_mixed_corpus
-
     cache_dir = _artifact_dir() or "/tmp/tiktoken-tpu-compiled"
     os.makedirs(cache_dir, exist_ok=True)
-    vocab_path = os.path.join(cache_dir, f"bench_vocab_{VOCAB_SIZE}.tiktoken")
+    vocab_path = os.path.join(cache_dir, f"bench_vocab2_{VOCAB_SIZE}.tiktoken")
     if os.path.exists(vocab_path):
         log(f"loading cached bench vocab {vocab_path}")
         ranks = load_tiktoken_bpe(vocab_path)
     else:
-        log(f"training {VOCAB_SIZE}-rank vocab on mixed corpus (one-time)...")
+        log(f"training {VOCAB_SIZE}-rank vocab on bench corpus (one-time)...")
         from tiktoken_tpu.train import train_bpe
 
         t0 = time.time()
         ranks = train_bpe(
-            [make_mixed_corpus(8_000_000, seed=1)], VOCAB_SIZE, pub.o200k_pat_str,
+            [make_bench_corpus(24_000_000, seed=1)], VOCAB_SIZE, pub.o200k_pat_str,
             min_pair_count=2,
         )
         log(f"trained {len(ranks)} ranks in {time.time()-t0:.0f}s")
@@ -62,7 +118,7 @@ def get_vocab_and_corpus():
 
     n = int(CORPUS_MB * 1_000_000)
     log(f"building {CORPUS_MB} MB corpus...")
-    chunk = make_mixed_corpus(2_000_000, seed=7)
+    chunk = make_bench_corpus(2_000_000, seed=7)
     reps = max(1, n // len(chunk.encode())) + 1
     corpus = (chunk * reps).encode()[:n]
     # ensure valid utf-8 at the cut
@@ -100,7 +156,7 @@ def main() -> None:
     total_bytes = sum(len(d.encode()) for d in docs)
 
     engine = enc.device_engine
-    log(f"transducer states={engine.transducer.n_states}, "
+    log(f"dfa states={engine.dfa.n_states}, "
         f"pair table={engine.pair_table.n_pairs} pairs, "
         f"max_probes={engine.pair_table.max_probes}")
 

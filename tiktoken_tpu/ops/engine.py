@@ -40,6 +40,7 @@ from tiktoken_tpu.ops.window_scan import DEFAULT_WINDOW, make_orbit_fn, make_win
 
 LOOK = 16  # true continuation bytes per row
 DEFAULT_ROW = 2048  # payload bytes per row
+DEFAULT_CHUNK_ROWS = 512  # rows per device dispatch (one compiled shape)
 
 
 def _find_safe_splits(data: np.ndarray) -> np.ndarray:
@@ -256,20 +257,51 @@ class DeviceEngine:
 
     # -- public -----------------------------------------------------------
 
-    def encode_rows(self, batch: PackedBatch):
+    def encode_rows(self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS):
         """Run the device pipeline. Returns (packed [B,K], counts [B],
-        row_bad [B]) as numpy arrays."""
+        row_bad [B]) as numpy arrays.
+
+        Rows are dispatched in fixed-size chunks (last chunk zero-padded)
+        so one compiled program serves any corpus size; chunk i+1's upload
+        overlaps chunk i's compute via jax async dispatch."""
         tables = self._tables()
         B, KL = batch.rows.shape
-        fn = self._pipeline(B, KL)
-        packed, counts, _rounds, row_bad = fn(
-            tables["trans"], tables["accept"], tables["class_of"],
-            tables["keys_a"], tables["keys_b"], tables["vals"],
-            tables["byte_to_rank"],
-            batch.rows, batch.n_payload, batch.n_total,
-        )
+        if B == 0:
+            K = KL - LOOK
+            return (
+                np.zeros((0, K), np.uint32),
+                np.zeros(0, np.int32),
+                np.zeros(0, bool),
+            )
+        # next-pow2 chunk (capped): few compiled shapes, small-batch friendly
+        C = min(chunk_rows, 1 << (B - 1).bit_length())
+        fn = self._pipeline(C, KL)
+        outs = []
+        for lo in range(0, B, C):
+            rows = batch.rows[lo : lo + C]
+            n_payload = batch.n_payload[lo : lo + C]
+            n_total = batch.n_total[lo : lo + C]
+            n = rows.shape[0]
+            if n < C:
+                rows = np.concatenate([rows, np.zeros((C - n, KL), np.uint8)])
+                n_payload = np.concatenate([n_payload, np.zeros(C - n, np.int32)])
+                n_total = np.concatenate([n_total, np.zeros(C - n, np.int32)])
+            outs.append(
+                (
+                    fn(
+                        tables["trans"], tables["accept"], tables["class_of"],
+                        tables["keys_a"], tables["keys_b"], tables["vals"],
+                        tables["byte_to_rank"],
+                        rows, n_payload, n_total,
+                    ),
+                    n,
+                )
+            )
+        packed = np.concatenate([np.asarray(o[0])[:n] for o, n in outs])
+        counts = np.concatenate([np.asarray(o[1])[:n] for o, n in outs])
+        row_bad = np.concatenate([np.asarray(o[3])[:n] for o, n in outs])
         self.stats["rows"] += B
-        return np.asarray(packed), np.asarray(counts), np.asarray(row_bad)
+        return packed, counts, row_bad
 
     def encode_corpus(self, texts, host_fallback=None, row_capacity: int = DEFAULT_ROW):
         """Encode documents on device; byte-exact with encode_ordinary."""
