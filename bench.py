@@ -158,7 +158,7 @@ def main() -> None:
     engine = enc.device_engine
     log(f"dfa states={engine.dfa.n_states}, "
         f"pair table={engine.pair_table.n_pairs} pairs, "
-        f"max_probes={engine.pair_table.max_probes}")
+        f"buckets={engine.pair_table.n_buckets}")
 
     # warmup (compile)
     log("warmup/compile...")

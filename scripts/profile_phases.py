@@ -23,14 +23,16 @@ ROW = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 
 
 def timeit(fn, *args, n=5):
+    """NOTE: on the axon tunnel, block_until_ready returns before the work
+    completes (HARDWARE.md); only fetching data to host truly blocks."""
     import jax
 
     r = fn(*args)
-    jax.block_until_ready(r)
+    r = jax.tree.map(lambda x: __import__("numpy").asarray(x), r)
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args)
-    jax.block_until_ready(r)
+        r = jax.tree.map(lambda x: __import__("numpy").asarray(x), r)
     return (time.perf_counter() - t0) / n, r
 
 
@@ -54,8 +56,8 @@ def main():
     engine = enc.device_engine
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     print(f"dfa states={engine.dfa.n_states} classes={engine.dfa.n_classes} "
-          f"pairs={engine.pair_table.n_pairs} probes={engine.pair_table.max_probes} "
-          f"table={engine.pair_table.size}", file=sys.stderr)
+          f"pairs={engine.pair_table.n_pairs} "
+          f"buckets={engine.pair_table.n_buckets}", file=sys.stderr)
 
     doc = corpus[: ROWS * ROW + 10000].decode("utf-8", errors="ignore").encode()
     batch = pack_documents([doc], ROW)
@@ -71,7 +73,7 @@ def main():
     eof_cls = int(engine.dfa.class_of[256])
     scan_fn = jax.jit(make_window_scan_fn(W, engine.dfa.n_states, engine.dfa.n_classes))
     orbit_fn = jax.jit(make_orbit_fn(K))
-    merge_fn = jax.jit(make_merge_fn(engine.pair_table.max_probes, engine.pair_table.size))
+    merge_fn = jax.jit(make_merge_fn(engine.pair_table.seed, engine.pair_table.n_buckets))
 
     rows_d = jnp.asarray(rows)
     npay_d = jnp.asarray(n_payload)
@@ -99,14 +101,14 @@ def main():
     idx = np.arange(K, dtype=np.int32)
     valid = jnp.asarray(idx[None, :] < n_payload[:, None])
     dt, (tok, alive, rounds) = timeit(
-        merge_fn, t["keys_a"], t["keys_b"], t["vals"], t["byte_to_rank"],
+        merge_fn, t["buckets"], t["byte_to_rank"],
         rows_d[:, :K], piece_start, valid,
     )
     print(f"merge   : {dt*1e3:8.2f} ms  {nbytes/dt/1e6:9.1f} MB/s   rounds={int(rounds)}")
 
     fn = engine._pipeline(B, KL)
     dt, _ = timeit(fn, t["trans"], t["accept"], t["class_of"],
-                   t["keys_a"], t["keys_b"], t["vals"], t["byte_to_rank"],
+                   t["buckets"], t["byte_to_rank"],
                    rows_d, npay_d, ntot_d)
     print(f"full    : {dt*1e3:8.2f} ms  {nbytes/dt/1e6:9.1f} MB/s")
 

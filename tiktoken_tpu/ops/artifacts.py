@@ -17,7 +17,7 @@ import uuid
 
 import numpy as np
 
-COMPILER_VERSION = 4  # bump to invalidate every cached artifact
+COMPILER_VERSION = 5  # bump to invalidate every cached artifact
 
 
 def _artifact_dir() -> str | None:

@@ -130,14 +130,14 @@ def build_pipeline_fn(
     n_states: int,
     n_classes: int,
     eof_cls: int,
-    max_probes: int,
-    table_size: int,
+    pair_seed: int,
+    pair_buckets: int,
 ):
     """Build the pure, jittable device pipeline for static geometry.
 
     Signature of the returned fn (all jax arrays):
         (trans [S,C] i32, accept [S] i32, class_of [257] i32,
-         keys_a/keys_b/vals [T] u32, byte_to_rank [256] u32,
+         buckets [n_buckets, 32] u32, byte_to_rank [256] u32,
          rows [B, K+LOOK] u8, n_payload [B] i32, n_total [B] i32)
         -> (packed [B,K] u32, counts [B] i32, rounds i32, row_bad [B] bool)
 
@@ -153,10 +153,10 @@ def build_pipeline_fn(
     W = window
     scan_fn = make_window_scan_fn(W, n_states, n_classes)
     orbit_fn = make_orbit_fn(K)
-    merge_fn = make_merge_fn(max_probes, table_size)
+    merge_fn = make_merge_fn(pair_seed, pair_buckets)
 
     def pipeline(
-        trans, accept, class_of, keys_a, keys_b, vals, byte_to_rank,
+        trans, accept, class_of, buckets, byte_to_rank,
         rows, n_payload, n_total,
     ):
         idx = jnp.arange(KL, dtype=jnp.int32)
@@ -178,7 +178,7 @@ def build_pipeline_fn(
 
         valid = idx[None, :K] < n_payload[:, None]
         tok, alive, rounds = merge_fn(
-            keys_a, keys_b, vals, byte_to_rank,
+            buckets, byte_to_rank,
             rows[:, :K], piece_start, valid,
         )
         alive = alive & valid
@@ -224,9 +224,7 @@ class DeviceEngine:
                 trans=jnp.asarray(dfa.trans.astype(np.int32)),
                 accept=jnp.asarray(dfa.accept.astype(np.int32)),
                 class_of=jnp.asarray(dfa.class_of.astype(np.int32)),
-                keys_a=jnp.asarray(pt.keys_a),
-                keys_b=jnp.asarray(pt.keys_b),
-                vals=jnp.asarray(pt.vals),
+                buckets=jnp.asarray(pt.buckets),
                 byte_to_rank=jnp.asarray(pt.byte_to_rank),
             )
         return self._device_arrays
@@ -240,8 +238,8 @@ class DeviceEngine:
             n_states=self.dfa.n_states,
             n_classes=self.dfa.n_classes,
             eof_cls=int(self.dfa.class_of[256]),
-            max_probes=self.pair_table.max_probes,
-            table_size=self.pair_table.size,
+            pair_seed=self.pair_table.seed,
+            pair_buckets=self.pair_table.n_buckets,
         )
 
     def _pipeline(self, B: int, KL: int):
@@ -290,8 +288,7 @@ class DeviceEngine:
                 (
                     fn(
                         tables["trans"], tables["accept"], tables["class_of"],
-                        tables["keys_a"], tables["keys_b"], tables["vals"],
-                        tables["byte_to_rank"],
+                        tables["buckets"], tables["byte_to_rank"],
                         rows, n_payload, n_total,
                     ),
                     n,
@@ -345,11 +342,9 @@ def _cached_pair_table(mergeable_ranks: dict[bytes, int]) -> PairTable:
     arrays = artifacts.load_arrays(key)
     if arrays is not None:
         return PairTable(
-            keys_a=arrays["keys_a"],
-            keys_b=arrays["keys_b"],
-            vals=arrays["vals"],
-            size=int(arrays["keys_a"].shape[0]),
-            max_probes=int(arrays["meta"][0]),
+            buckets=arrays["buckets"],
+            n_buckets=int(arrays["buckets"].shape[0]),
+            seed=int(arrays["meta"][0]),
             n_pairs=int(arrays["meta"][1]),
             byte_to_rank=arrays["byte_to_rank"],
             n_vocab=int(arrays["meta"][2]),
@@ -358,11 +353,9 @@ def _cached_pair_table(mergeable_ranks: dict[bytes, int]) -> PairTable:
     artifacts.store_arrays(
         key,
         {
-            "keys_a": pt.keys_a,
-            "keys_b": pt.keys_b,
-            "vals": pt.vals,
+            "buckets": pt.buckets,
             "byte_to_rank": pt.byte_to_rank,
-            "meta": np.asarray([pt.max_probes, pt.n_pairs, pt.n_vocab], dtype=np.int64),
+            "meta": np.asarray([pt.seed, pt.n_pairs, pt.n_vocab], dtype=np.int64),
         },
     )
     return pt

@@ -113,21 +113,23 @@ def encode_block_tokens_numpy(table, byte_vals, piece_start, valid) -> list[int]
 # ---------------------------------------------------------------------------
 
 
-def make_merge_fn(max_probes: int, table_size: int):
+def make_merge_fn(seed: int, n_buckets: int):
     """Build the merge function for given static table geometry.
 
     Signature of the returned fn:
-        (keys_a, keys_b, vals, byte_to_rank,
+        (buckets [n_buckets, 32] uint32, byte_to_rank,
          byte_vals [B,K] uint8, piece_start [B,K] bool, valid [B,K] bool)
         -> (tokens [B,K] uint32, alive [B,K] bool, rounds [] int32)
     """
     import jax
     import jax.numpy as jnp
 
-    mask = np.uint32(table_size - 1)
+    from tiktoken_tpu.ops.pair_table import BUCKET_SLOTS
+
+    mask = np.uint32(n_buckets - 1)
 
     def mix(a, b):
-        a = a.astype(jnp.uint32)
+        a = np.uint32(seed) ^ a.astype(jnp.uint32)
         b = b.astype(jnp.uint32)
         h = a * np.uint32(0x9E3779B1) ^ (b + np.uint32(0x85EBCA6B) + (a << 6))
         h = h ^ (h >> 15)
@@ -135,15 +137,15 @@ def make_merge_fn(max_probes: int, table_size: int):
         h = h ^ (h >> 12)
         return h
 
-    def lookup(keys_a, keys_b, vals, a, b):
-        h = mix(a, b) & mask
+    def lookup(buckets, a, b):
+        # ONE row gather per query (HARDWARE.md: row fetches cost the same
+        # as element fetches), then 8 vectorized slot compares.
+        h = (mix(a, b) & mask).astype(jnp.int32)
+        rows = buckets[h]  # [..., 32]
         out = jnp.full(a.shape, RANK_MAX, dtype=jnp.uint32)
-        found = jnp.zeros(a.shape, dtype=bool)
-        for p in range(max_probes):
-            slot = (h + np.uint32(p)) & mask
-            hit = (~found) & (keys_a[slot] == a) & (keys_b[slot] == b)
-            out = jnp.where(hit, vals[slot], out)
-            found = found | hit
+        for s in range(BUCKET_SLOTS):
+            hit = (rows[..., 4 * s] == a) & (rows[..., 4 * s + 1] == b)
+            out = jnp.where(hit, rows[..., 4 * s + 2], out)
         return out
 
     def seg_cummin(r, piece_start_cols, reverse: bool):
@@ -173,7 +175,7 @@ def make_merge_fn(max_probes: int, table_size: int):
             v = v[:, ::-1]
         return v
 
-    def merge(keys_a, keys_b, vals, byte_to_rank, byte_vals, piece_start, valid):
+    def merge(buckets, byte_to_rank, byte_vals, piece_start, valid):
         B, K = byte_vals.shape
         tok0 = byte_to_rank[byte_vals.astype(jnp.int32)]
         alive0 = valid
@@ -192,7 +194,7 @@ def make_merge_fn(max_probes: int, table_size: int):
             ok = alive & (nxt < K)
             ok &= jnp.take_along_axis(valid, nxt_c, axis=1)
             ok &= ~jnp.take_along_axis(piece_start, nxt_c, axis=1)
-            r = lookup(keys_a, keys_b, vals, tok, right_tok)
+            r = lookup(buckets, tok, right_tok)
             return jnp.where(ok, r, RANK_MAX)
 
         def cond(state):

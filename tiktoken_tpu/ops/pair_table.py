@@ -9,9 +9,13 @@ two token ids. The table enumerates, offline, every (a, b) id pair whose
 concatenated bytes form a vocabulary token, mapping it to that token's
 rank — which is simultaneously the merge priority AND the merged token id.
 
-Device side it is an open-addressing hash table (linear probing, bounded
-probe length verified at build) laid out as three flat uint32 arrays, a
-few MB in HBM, shared read-only by every block and replicated per chip.
+Device layout is driven by measured hardware rates (HARDWARE.md): random
+access costs ~8ns per *row* regardless of row width, so the table is
+bucketized: one bucket = one 32-lane row holding 8 slots of
+(key_a, key_b, value, pad). A query is ONE row gather plus 8 vectorized
+compares — versus 16 probes x 3 arrays for classic open addressing. The
+build rehashes with fresh seeds until no bucket exceeds 8 entries, so
+lookup cost is a compile-time constant.
 """
 
 from __future__ import annotations
@@ -23,10 +27,13 @@ import numpy as np
 RANK_MAX = np.uint32(0xFFFFFFFF)
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
 
+BUCKET_SLOTS = 8
+BUCKET_WIDTH = BUCKET_SLOTS * 4  # (key_a, key_b, val, pad) per slot
 
-def _mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+
+def _mix(a: np.ndarray, b: np.ndarray, seed: int) -> np.ndarray:
     """Cheap uint32 pair hash; identical semantics in numpy and jax."""
-    a = a.astype(np.uint32)
+    a = np.uint32(seed) ^ a.astype(np.uint32)
     b = b.astype(np.uint32)
     h = a * np.uint32(0x9E3779B1) ^ (b + np.uint32(0x85EBCA6B) + (a << np.uint32(6)))
     h ^= h >> np.uint32(15)
@@ -37,14 +44,20 @@ def _mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 @dataclass
 class PairTable:
-    keys_a: np.ndarray  # [size] uint32, EMPTY_KEY = free slot
-    keys_b: np.ndarray  # [size] uint32
-    vals: np.ndarray  # [size] uint32 rank (== merged token id)
-    size: int  # power of two
-    max_probes: int  # longest probe sequence, verified at build
+    buckets: np.ndarray  # [n_buckets, 32] uint32: 8 slots of (a, b, val, pad)
+    n_buckets: int  # power of two
+    seed: int  # hash seed that avoids bucket overflow
     n_pairs: int
     byte_to_rank: np.ndarray  # [256] uint32: rank of each single-byte token
     n_vocab: int
+
+    @property
+    def size(self) -> int:  # compat: geometry key for jit caching
+        return self.n_buckets
+
+    @property
+    def max_probes(self) -> int:  # compat: one row gather per query
+        return 1
 
 
 def enumerate_pairs(mergeable_ranks: dict[bytes, int]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -74,9 +87,7 @@ def enumerate_pairs(mergeable_ranks: dict[bytes, int]) -> tuple[np.ndarray, np.n
     )
 
 
-def build_pair_table(
-    mergeable_ranks: dict[bytes, int], *, load_factor: float = 0.5
-) -> PairTable:
+def build_pair_table(mergeable_ranks: dict[bytes, int]) -> PairTable:
     byte_to_rank = np.full(256, RANK_MAX, dtype=np.uint32)
     for b in range(256):
         rank = mergeable_ranks.get(bytes([b]))
@@ -89,53 +100,39 @@ def build_pair_table(
 
     ka, kb, kv = enumerate_pairs(mergeable_ranks)
     n = len(ka)
-    size = 1
-    while size < max(16, int(n / load_factor)):
-        size *= 2
-    mask = np.uint32(size - 1)
+    n_buckets = 1
+    while n_buckets < max(64, n):
+        n_buckets *= 2
 
-    keys_a = np.full(size, EMPTY_KEY, dtype=np.uint32)
-    keys_b = np.full(size, EMPTY_KEY, dtype=np.uint32)
-    vals = np.full(size, RANK_MAX, dtype=np.uint32)
+    # Reseed until no bucket holds more than BUCKET_SLOTS pairs; at mean
+    # load <= 1 over 8-slot buckets, P(overflow) per bucket ~ 1e-6, so a
+    # couple of tries always suffice.
+    for attempt in range(64):
+        seed = 0x5EED0000 + attempt
+        h = (_mix(ka, kb, seed) & np.uint32(n_buckets - 1)).astype(np.int64)
+        counts = np.bincount(h, minlength=n_buckets)
+        if counts.max(initial=0) <= BUCKET_SLOTS:
+            break
+    else:
+        raise RuntimeError("could not bucket pair table without overflow")
 
-    # Vectorized cohort insertion: attempt slot h+probe for all remaining
-    # keys at once; first writer (by np scatter order) wins the slot.
-    idx = np.arange(n)
-    h = _mix(ka, kb) & mask
-    probe = np.zeros(n, dtype=np.uint32)
-    remaining = idx
-    max_probes = 0
-    while len(remaining):
-        slots = (h[remaining] + probe[remaining]) & mask
-        free = keys_a[slots] == EMPTY_KEY
-        # Among keys targeting the same free slot, keep the first.
-        cand = remaining[free]
-        cand_slots = slots[free]
-        order = np.argsort(cand_slots, kind="stable")
-        cand = cand[order]
-        cand_slots = cand_slots[order]
-        first = np.ones(len(cand), dtype=bool)
-        first[1:] = cand_slots[1:] != cand_slots[:-1]
-        winners = cand[first]
-        win_slots = cand_slots[first]
-        keys_a[win_slots] = ka[winners]
-        keys_b[win_slots] = kb[winners]
-        vals[win_slots] = kv[winners]
-        placed = np.zeros(n, dtype=bool)
-        placed[winners] = True
-        still = remaining[~placed[remaining]]
-        probe[still] += 1
-        if len(still) and probe[still].max() > 64:
-            raise RuntimeError("pair table probe length exploded; bad hash?")
-        max_probes = max(max_probes, int(probe[remaining].max(initial=0)) + 1)
-        remaining = still
+    buckets = np.full((n_buckets, BUCKET_WIDTH), EMPTY_KEY, dtype=np.uint32)
+    order = np.argsort(h, kind="stable")
+    slot_in_bucket = np.zeros(n, dtype=np.int64)
+    hs = h[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = hs[1:] != hs[:-1]
+    run_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    slot_in_bucket = np.arange(n) - run_start
+    cols = slot_in_bucket * 4
+    buckets[hs, cols] = ka[order]
+    buckets[hs, cols + 1] = kb[order]
+    buckets[hs, cols + 2] = kv[order]
 
     return PairTable(
-        keys_a=keys_a,
-        keys_b=keys_b,
-        vals=vals,
-        size=size,
-        max_probes=max_probes,
+        buckets=buckets,
+        n_buckets=n_buckets,
+        seed=seed,
         n_pairs=n,
         byte_to_rank=byte_to_rank,
         n_vocab=len(mergeable_ranks),
@@ -145,13 +142,11 @@ def build_pair_table(
 def lookup_numpy(table: PairTable, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Reference lookup (numpy): rank of concat(bytes(a), bytes(b)) or
     RANK_MAX. The jax version in ops/merge.py mirrors this exactly."""
-    mask = np.uint32(table.size - 1)
-    h = _mix(a, b) & mask
-    out = np.full(a.shape, RANK_MAX, dtype=np.uint32)
-    found = np.zeros(a.shape, dtype=bool)
-    for p in range(table.max_probes):
-        slot = (h + np.uint32(p)) & mask
-        hit = (~found) & (table.keys_a[slot] == a) & (table.keys_b[slot] == b)
-        out = np.where(hit, table.vals[slot], out)
-        found |= hit
+    h = (_mix(np.asarray(a), np.asarray(b), table.seed)
+         & np.uint32(table.n_buckets - 1)).astype(np.int64)
+    rows = table.buckets[h]  # [..., 32]
+    out = np.full(np.shape(a), RANK_MAX, dtype=np.uint32)
+    for s in range(BUCKET_SLOTS):
+        hit = (rows[..., 4 * s] == a) & (rows[..., 4 * s + 1] == b)
+        out = np.where(hit & (out == RANK_MAX), rows[..., 4 * s + 2], out)
     return out
