@@ -218,6 +218,7 @@ class Encoding:
         texts: Sequence[str] | Sequence[bytes],
         *,
         device: bool = True,
+        row_capacity: int | None = None,
     ) -> list[list[int]]:
         """Encodes a large batch of documents on the TPU device pipeline.
 
@@ -230,7 +231,10 @@ class Encoding:
         if not device:
             return [self.encode_ordinary(t if isinstance(t, str) else t.decode("utf-8"))
                     for t in texts]
-        return self.device_engine.encode_corpus(texts, host_fallback=self._core_bpe)
+        kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
+        return self.device_engine.encode_corpus(
+            texts, host_fallback=self._core_bpe, **kwargs
+        )
 
     def encode_with_unstable(
         self,

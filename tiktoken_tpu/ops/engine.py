@@ -36,7 +36,12 @@ from tiktoken_tpu.ops import artifacts
 from tiktoken_tpu.ops.merge import make_merge_fn
 from tiktoken_tpu.ops.pair_table import PairTable, build_pair_table
 from tiktoken_tpu.ops.regex_compiler import ScannerDFA
-from tiktoken_tpu.ops.window_scan import DEFAULT_WINDOW, make_orbit_fn, make_window_scan_fn
+from tiktoken_tpu.ops.window_scan import (
+    DEFAULT_WINDOW,
+    make_orbit_fn,
+    make_window_scan_fn,
+    pack_trans_accept,
+)
 
 LOOK = 16  # true continuation bytes per row
 DEFAULT_ROW = 2048  # payload bytes per row
@@ -136,7 +141,7 @@ def build_pipeline_fn(
     """Build the pure, jittable device pipeline for static geometry.
 
     Signature of the returned fn (all jax arrays):
-        (trans [S,C] i32, accept [S] i32, class_of [257] i32,
+        (packed [S,C] i32 (pack_trans_accept), class_of [257] i32,
          buckets [n_buckets, 32] u32, byte_to_rank [256] u32,
          rows [B, K+LOOK] u8, n_payload [B] i32, n_total [B] i32)
         -> (packed [B,K] u32, counts [B] i32, rounds i32, row_bad [B] bool)
@@ -156,7 +161,7 @@ def build_pipeline_fn(
     merge_fn = make_merge_fn(pair_seed, pair_buckets)
 
     def pipeline(
-        trans, accept, class_of, buckets, byte_to_rank,
+        packed_trans, class_of, buckets, byte_to_rank,
         rows, n_payload, n_total,
     ):
         idx = jnp.arange(KL, dtype=jnp.int32)
@@ -169,7 +174,7 @@ def build_pipeline_fn(
             axis=1,
         )
 
-        hop, unresolved = scan_fn(trans, accept, cls_ext)  # [B, K]
+        hop, unresolved = scan_fn(packed_trans, cls_ext)  # [B, K]
         piece_start = orbit_fn(hop, n_payload)
 
         # rows the device cannot resolve exactly:
@@ -201,17 +206,22 @@ class DeviceEngine:
                  window: int = DEFAULT_WINDOW):
         self.dfa = dfa
         self.pair_table = pair_table
+        self.vocab_table = None  # set by build(); required for the v2 path
         self.name = name
         self.window = window
         self._jitted: dict[tuple[int, int], object] = {}
+        self._jitted2: dict[tuple[int, int], object] = {}
         self._device_arrays = None
-        self.stats = {"rows": 0, "fallback_docs": 0}
+        self.stats = {"rows": 0, "fallback_docs": 0, "v1_fallback_chunks": 0}
 
     @staticmethod
     def build(pat_str: str, mergeable_ranks: dict[bytes, int], *, name: str = "?"):
         dfa = artifacts.cached_scanner_dfa(pat_str)
         pt = _cached_pair_table(mergeable_ranks)
-        return DeviceEngine(dfa, pt, name)
+        vt = _cached_vocab_table(mergeable_ranks)
+        eng = DeviceEngine(dfa, pt, name)
+        eng.vocab_table = vt
+        return eng
 
     # -- device plumbing ----------------------------------------------------
 
@@ -221,8 +231,7 @@ class DeviceEngine:
 
             dfa, pt = self.dfa, self.pair_table
             self._device_arrays = dict(
-                trans=jnp.asarray(dfa.trans.astype(np.int32)),
-                accept=jnp.asarray(dfa.accept.astype(np.int32)),
+                packed=jnp.asarray(pack_trans_accept(dfa.trans, dfa.accept)),
                 class_of=jnp.asarray(dfa.class_of.astype(np.int32)),
                 buckets=jnp.asarray(pt.buckets),
                 byte_to_rank=jnp.asarray(pt.byte_to_rank),
@@ -253,7 +262,133 @@ class DeviceEngine:
         self._jitted[key] = fn
         return fn
 
+    def pipeline2_fn(self, B: int, row_total: int):
+        """The pure (unjitted) v2 piece-slot pipeline (ops/pipeline2.py)."""
+        from tiktoken_tpu.ops.pipeline2 import build_pipeline2_fn
+
+        return build_pipeline2_fn(
+            row_total=row_total,
+            look=LOOK,
+            window=self.window,
+            n_states=self.dfa.n_states,
+            n_classes=self.dfa.n_classes,
+            eof_cls=int(self.dfa.class_of[256]),
+            pair_seed=self.pair_table.seed,
+            pair_buckets=self.pair_table.n_buckets,
+            vocab_seed=self.vocab_table.seed,
+            vocab_buckets=self.vocab_table.n_buckets,
+            B=B,
+        )
+
+    def _pipeline2(self, B: int, KL: int):
+        key = (B, KL)
+        fn = self._jitted2.get(key)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(self.pipeline2_fn(B, KL))
+            self._jitted2[key] = fn
+        return fn
+
+    def _tables2(self):
+        t = self._tables()
+        if "vocab" not in t:
+            import jax.numpy as jnp
+
+            t["vocab"] = jnp.asarray(self.vocab_table.buckets)
+        return t
+
     # -- public -----------------------------------------------------------
+
+    def _flat_slicer(self, size: int):
+        """jitted pow2-size prefix slicer (device-side) so the host fetches
+        only ~n_tokens values instead of the whole t_cap buffer."""
+        fn = self._jitted2.get(("slice", size))
+        if fn is None:
+            import jax
+
+            fn = jax.jit(lambda x: x[:size])
+            self._jitted2[("slice", size)] = fn
+        return fn
+
+    def encode_rows_tokens(
+        self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS
+    ):
+        """v2 path: returns (row_tokens: list of uint32 arrays, one per
+        row, row_bad [B] bool). Chunks that overflow a static cap (rare,
+        degenerate piece statistics) transparently rerun through v1.
+
+        Exactly two device->host fetches per chunk (one header, one
+        pow2-sliced token stream), overlapped across chunks with a small
+        thread pool — the tunnel's per-fetch latency dominates otherwise
+        (HARDWARE.md)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        B, KL = batch.rows.shape
+        if B == 0:
+            return [], np.zeros(0, bool)
+        tables = self._tables2()
+        C = min(chunk_rows, 1 << (B - 1).bit_length())
+        fn = self._pipeline2(C, KL)
+        pending = []  # (flat_dev, header_dev, real_rows, lo)
+        for lo in range(0, B, C):
+            rows = batch.rows[lo : lo + C]
+            n_payload = batch.n_payload[lo : lo + C]
+            n_total = batch.n_total[lo : lo + C]
+            n = rows.shape[0]
+            if n < C:
+                rows = np.concatenate([rows, np.zeros((C - n, KL), np.uint8)])
+                n_payload = np.concatenate([n_payload, np.zeros(C - n, np.int32)])
+                n_total = np.concatenate([n_total, np.zeros(C - n, np.int32)])
+            flat, header = fn(
+                tables["packed"], tables["class_of"],
+                tables["buckets"], tables["byte_to_rank"], tables["vocab"],
+                rows, n_payload, n_total,
+            )
+            pending.append((flat, header, n, lo))
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            headers = list(pool.map(lambda p: np.asarray(p[1]), pending))
+            t_cap = int(pending[0][0].shape[0])
+
+            def fetch_flat(i):
+                flat = pending[i][0]
+                hdr = headers[i]
+                nt = int(hdr[-2])
+                if hdr[-1] or nt == 0:  # overflow or empty
+                    return np.zeros(0, np.uint32)
+                size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
+                return np.asarray(self._flat_slicer(size)(flat))[:nt]
+
+            flats = list(pool.map(fetch_flat, range(len(pending))))
+
+        row_tokens: list[np.ndarray] = []
+        row_bad_all: list[np.ndarray] = []
+        for (flat, _hdr_dev, n, lo), hdr, flat_h in zip(pending, headers, flats):
+            Ch = (len(hdr) - 2) // 2
+            overflow = bool(hdr[-1])
+            if overflow:
+                self.stats["v1_fallback_chunks"] += 1
+                sub = PackedBatch(
+                    rows=batch.rows[lo : lo + n],
+                    n_payload=batch.n_payload[lo : lo + n],
+                    n_total=batch.n_total[lo : lo + n],
+                    doc_index=batch.doc_index[lo : lo + n],
+                    hard_cut_docs=frozenset(),
+                    row_capacity=batch.row_capacity,
+                )
+                packed, counts, bad = self.encode_rows(sub, chunk_rows)
+                for r in range(n):
+                    row_tokens.append(packed[r, : counts[r]].astype(np.uint32))
+                row_bad_all.append(bad)
+                continue
+            counts = hdr[:n]
+            offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            for r in range(n):
+                row_tokens.append(flat_h[offs[r] : offs[r + 1]])
+            row_bad_all.append(hdr[Ch : Ch + n].astype(bool))
+        self.stats["rows"] += B
+        return row_tokens, np.concatenate(row_bad_all)
 
     def encode_rows(self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS):
         """Run the device pipeline. Returns (packed [B,K], counts [B],
@@ -287,7 +422,7 @@ class DeviceEngine:
             outs.append(
                 (
                     fn(
-                        tables["trans"], tables["accept"], tables["class_of"],
+                        tables["packed"], tables["class_of"],
                         tables["buckets"], tables["byte_to_rank"],
                         rows, n_payload, n_total,
                     ),
@@ -307,15 +442,15 @@ class DeviceEngine:
         out: list = [[] for _ in docs]
         if batch.rows.shape[0] == 0:
             return out
-        packed, counts, row_bad = self.encode_rows(batch)
+        row_tokens, row_bad = self.encode_rows_tokens(batch)
         fallback_docs = set(batch.hard_cut_docs)
         for row in np.nonzero(row_bad)[0]:
             fallback_docs.add(int(batch.doc_index[row]))
-        for row in range(packed.shape[0]):
+        for row, toks in enumerate(row_tokens):
             d = int(batch.doc_index[row])
             if d in fallback_docs:
                 continue
-            out[d].extend(packed[row, : counts[row]].tolist())
+            out[d].extend(toks.tolist())
         if fallback_docs:
             self.stats["fallback_docs"] += len(fallback_docs)
             if host_fallback is None:
@@ -359,3 +494,28 @@ def _cached_pair_table(mergeable_ranks: dict[bytes, int]) -> PairTable:
         },
     )
     return pt
+
+
+def _cached_vocab_table(mergeable_ranks: dict[bytes, int]):
+    from tiktoken_tpu.ops.pieces import VocabTable, build_vocab_table
+
+    key = artifacts.artifact_key(
+        "vocab-table", _pair_table_fingerprint(mergeable_ranks)
+    )
+    arrays = artifacts.load_arrays(key)
+    if arrays is not None:
+        return VocabTable(
+            buckets=arrays["buckets"],
+            n_buckets=int(arrays["buckets"].shape[0]),
+            seed=int(arrays["meta"][0]),
+            n_short=int(arrays["meta"][1]),
+        )
+    vt = build_vocab_table(mergeable_ranks)
+    artifacts.store_arrays(
+        key,
+        {
+            "buckets": vt.buckets,
+            "meta": np.asarray([vt.seed, vt.n_short], dtype=np.int64),
+        },
+    )
+    return vt

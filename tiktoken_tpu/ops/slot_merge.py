@@ -1,0 +1,154 @@
+"""Lane-aligned per-piece BPE merge.
+
+Pieces live one-per-row in fixed W-lane slots (W=16 short / W=64 long),
+so the greedy merge loop needs no segmented scans and no cross-row
+gathers: the leftmost minimum-rank pair of each piece is ``argmin`` along
+the lane axis (argmin returns the FIRST minimum — exactly the reference's
+leftmost tie-break, reference: src/lib.rs:148-153), and all within-piece
+pointer chasing is a W-way select sweep on the VPU.
+
+Pair-rank lookups (the expensive random accesses, HARDWARE.md) happen
+exactly once per adjacency: W-1 lookups up front, then 2 per merge round
+(the two pairs whose right/left neighbour changed) — versus the previous
+lockstep kernel's full-grid relookup every round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tiktoken_tpu.ops.pair_table import BUCKET_SLOTS, PairTable, RANK_MAX, lookup_numpy
+
+INT_RANK_MAX = 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# numpy reference (spec for the jax kernel)
+# ---------------------------------------------------------------------------
+
+
+def slot_merge_numpy(
+    table: PairTable, slot_bytes: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """slot_bytes [M, W] uint8 (zero-padded), lens [M] -> (tokens [M, W]
+    uint32 at surviving lanes, alive [M, W] bool)."""
+    M, W = slot_bytes.shape
+    toks = np.zeros((M, W), dtype=np.uint32)
+    alive = np.zeros((M, W), dtype=bool)
+    for m in range(M):
+        L = int(lens[m])
+        cur = [int(table.byte_to_rank[b]) for b in slot_bytes[m, :L]]
+        pos = list(range(L))
+        while len(cur) > 1:
+            ranks = lookup_numpy(
+                table, np.asarray(cur[:-1], np.uint32), np.asarray(cur[1:], np.uint32)
+            )
+            k = int(np.argmin(ranks))
+            if ranks[k] == RANK_MAX:
+                break
+            cur[k : k + 2] = [int(ranks[k])]
+            pos[k + 1 : k + 2] = []
+        for t, p in zip(cur, pos):
+            toks[m, p] = t
+            alive[m, p] = True
+    return toks, alive
+
+
+# ---------------------------------------------------------------------------
+# jax kernel
+# ---------------------------------------------------------------------------
+
+
+def make_slot_merge_fn(seed: int, n_buckets: int, W: int):
+    """jit-able: (buckets [nb,32] u32, byte_to_rank [256] u32,
+    slot_bytes [M,W] u8, lens [M] i32)
+    -> (tokens [M,W] u32, alive [M,W] bool, rounds i32)."""
+    import jax
+    import jax.numpy as jnp
+
+    mask = np.uint32(n_buckets - 1)
+
+    def mix(a, b):
+        a = np.uint32(seed) ^ a.astype(jnp.uint32)
+        b = b.astype(jnp.uint32)
+        h = a * np.uint32(0x9E3779B1) ^ (b + np.uint32(0x85EBCA6B) + (a << 6))
+        h = h ^ (h >> 15)
+        h = h * np.uint32(0x2C1B3C6D)
+        h = h ^ (h >> 12)
+        return h
+
+    def lookup(buckets, a, b, ok):
+        h = (mix(a, b) & mask).astype(jnp.int32)
+        rows = buckets[jnp.where(ok, h, 0)]
+        out = jnp.full(a.shape, RANK_MAX, dtype=jnp.uint32)
+        for s in range(BUCKET_SLOTS):
+            hit = (rows[..., 4 * s] == a) & (rows[..., 4 * s + 1] == b)
+            out = jnp.where(hit, rows[..., 4 * s + 2], out)
+        return jnp.where(ok, out, RANK_MAX)
+
+    cols = np.arange(W, dtype=np.int32)
+
+    def take(arr, pos):
+        """arr [M,W], pos [M] -> arr[m, pos[m]] via a W-way select sweep
+        (lane-local: no cross-row gather)."""
+        return jnp.sum(jnp.where(cols[None, :] == pos[:, None], arr, 0), axis=1)
+
+    def put(arr, pos, val, enable):
+        sel = (cols[None, :] == pos[:, None]) & enable[:, None]
+        return jnp.where(sel, val[:, None].astype(arr.dtype), arr)
+
+    def merge(buckets, byte_to_rank, slot_bytes, lens):
+        M = slot_bytes.shape[0]
+        tok = byte_to_rank[slot_bytes.astype(jnp.int32)]  # [M,W]
+        alive = cols[None, :] < lens[:, None]
+        nxt = jnp.broadcast_to(cols[None, :] + 1, (M, W)).astype(jnp.int32)
+
+        # initial adjacency ranks: one lookup per adjacent pair
+        right0 = jnp.concatenate(
+            [tok[:, 1:], jnp.zeros((M, 1), tok.dtype)], axis=1
+        )
+        ok0 = alive & (cols[None, :] + 1 < lens[:, None])
+        r0 = lookup(buckets, tok, right0, ok0)
+
+        def cond(state):
+            _tok, _alive, _nxt, r, rounds = state
+            return (r != RANK_MAX).any() & (rounds < W)
+
+        def body(state):
+            tok, alive, nxt, r, rounds = state
+            rmin = jnp.min(r, axis=1)
+            k = jnp.argmin(r, axis=1).astype(jnp.int32)  # leftmost min
+            act = rmin != RANK_MAX
+
+            j = take(nxt, k)  # right partner position
+            jn = take(nxt, jnp.minimum(j, W - 1))  # partner's next
+            new_tok = rmin  # merged id == pair rank
+
+            tok = put(tok, k, new_tok, act)
+            alive = alive & ~((cols[None, :] == j[:, None]) & act[:, None])
+            nxt = put(nxt, k, jn, act)
+            r = put(r, jnp.minimum(j, W - 1), jnp.full((M,), INT_RANK_MAX, jnp.uint32),
+                    act)
+
+            # left alive neighbour l: the position with nxt[l] == k
+            is_l = alive & (nxt == k[:, None]) & act[:, None] & (cols[None, :] != k[:, None])
+            has_l = is_l.any(axis=1)
+            l = jnp.argmax(is_l, axis=1).astype(jnp.int32)
+
+            # two fresh lookups per piece: (new_tok, right) and (left, new_tok)
+            right_tok = take(tok, jnp.minimum(jn, W - 1))
+            ok_r = act & (jn < lens)
+            r_k = lookup(buckets, new_tok, right_tok, ok_r)
+            left_tok = take(tok, l)
+            r_l = lookup(buckets, left_tok, new_tok, act & has_l)
+
+            r = put(r, k, r_k, act)
+            r = put(r, l, r_l, act & has_l)
+            return tok, alive, nxt, r, rounds + 1
+
+        tok, alive, _nxt, _r, rounds = jax.lax.while_loop(
+            cond, body, (tok, alive, nxt, r0, jnp.int32(0))
+        )
+        return tok, alive, rounds
+
+    return merge

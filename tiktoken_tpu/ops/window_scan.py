@@ -99,32 +99,96 @@ def piece_starts_numpy(dfa: ScannerDFA, data: bytes, window: int = DEFAULT_WINDO
 # ---------------------------------------------------------------------------
 
 
-def make_window_scan_fn(window: int, n_states: int, n_classes: int):
-    """Jittable fn: (trans [S,C] int32, accept [S] int32,
+ACC_BITS = 5  # accept rewind in [-1, MAX_REWIND=15] -> 5 bits
+
+
+def pack_trans_accept(trans: np.ndarray, accept: np.ndarray) -> np.ndarray:
+    """Fuse the two per-step table lookups into one: packed[s, c] =
+    next_state << 5 | (accept[next_state] + 1). Random access is the
+    scarce resource (HARDWARE.md), so one gather per scanned byte instead
+    of two."""
+    nxt = trans.astype(np.int64)
+    a = accept.astype(np.int64)[nxt] + 1
+    assert a.min() >= 0 and a.max() < (1 << ACC_BITS)
+    packed = (nxt << ACC_BITS) | a
+    assert packed.max() < 2**31
+    return packed.astype(np.int32)
+
+
+def make_window_scan_fn(window: int, n_states: int, n_classes: int,
+                        *, first_window: int = 16):
+    """Jittable fn: (packed [S,C] int32 (pack_trans_accept),
     classes [B, K+W] int32) -> (hop [B,K] int32, unresolved [B,K] bool).
 
-    classes must include W extra lookahead columns (EOF-padded)."""
+    classes must include W extra lookahead columns (EOF-padded).
+
+    Two-phase: every position scans ``first_window`` bytes; the (few)
+    positions whose match did not resolve are compacted and re-scanned
+    with the full window, so the per-byte gather count is ~first_window
+    plus a small tail instead of ``window``."""
     import jax
     import jax.numpy as jnp
 
-    def scan(trans, accept, classes):
+    W1 = min(first_window, window)
+
+    def scan(packed, classes):
         B = classes.shape[0]
         K = classes.shape[1] - window
-        flat_trans = trans.reshape(-1)  # [S*C]
+        N = B * K
+        flat = packed.reshape(-1)  # [S*C]
+        acc_mask = (1 << ACC_BITS) - 1
+
+        def step(state, hop, alive, cls, o):
+            """One DFA step at absolute window offset o."""
+            v = flat[state * n_classes + cls]
+            nxt = v >> ACC_BITS
+            state = jnp.where(alive, nxt, state)
+            alive = alive & (state != ScannerDFA.DEAD)
+            a = (v & acc_mask) - 1
+            took = alive & (a >= 0)
+            hop = jnp.where(took, o + 1 - a, hop)
+            return state, hop, alive
+
         state = jnp.full((B, K), ScannerDFA.START, dtype=jnp.int32)
         hop = jnp.zeros((B, K), dtype=jnp.int32)
         alive = jnp.ones((B, K), dtype=bool)
-        for o in range(window):
+        for o in range(W1):
             cls = jax.lax.dynamic_slice_in_dim(classes, o, K, axis=1)
-            nxt = flat_trans[state * n_classes + cls]
-            state = jnp.where(alive, nxt, state)
-            alive = alive & (state != ScannerDFA.DEAD)
-            a = accept[state]
-            took = alive & (a >= 0)
-            hop = jnp.where(took, o + 1 - a, hop)
-        return hop, alive
+            state, hop, alive = step(state, hop, alive, cls, o)
+        if W1 >= window:
+            return hop, alive
 
-    import jax
+        # Phase 2: the few positions whose match spans more than W1 bytes
+        # continue on a compacted grid. Compaction overflow (degenerate
+        # input: most positions inside >W1-byte matches) marks everything
+        # unresolved so callers fall back safely.
+        u_cap = max(128, N // 6)
+        flat_alive = alive.reshape(-1)
+        u_overflow = jnp.sum(flat_alive.astype(jnp.int32)) > u_cap
+        upos = jnp.nonzero(flat_alive, size=u_cap, fill_value=0)[0]
+        urow = upos // K
+        ucol = upos % K
+        cls_flat = classes.reshape(-1)
+        ubase = urow * classes.shape[1] + ucol
+        ustate = state.reshape(-1)[upos]
+        uhop = jnp.zeros((u_cap,), jnp.int32)
+        ualive = flat_alive[upos]
+        u_took_any = jnp.zeros((u_cap,), bool)
+        for o in range(W1, window):
+            cls = cls_flat[ubase + o]
+            prev_hop = uhop
+            ustate, uhop, ualive = step(ustate, uhop, ualive, cls, o)
+            u_took_any = u_took_any | (uhop != prev_hop)
+
+        hop_flat = hop.reshape(-1)
+        # Later accepts override earlier ones (maximal munch: the final
+        # recorded accept wins, exactly as in the single-sweep semantics).
+        new_hop = jnp.where(u_took_any, uhop, hop_flat[upos])
+        # Duplicate indices (the fill positions) write identical values.
+        hop_flat = hop_flat.at[upos].set(new_hop)
+        unresolved = jnp.zeros((N,), bool).at[upos].max(ualive)
+        unresolved = unresolved | u_overflow
+        return hop_flat.reshape(B, K), unresolved.reshape(B, K)
 
     return scan
 

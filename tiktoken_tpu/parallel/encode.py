@@ -19,7 +19,7 @@ from tiktoken_tpu.ops.engine import LOOK, DeviceEngine, PackedBatch, pack_docume
 from tiktoken_tpu.parallel.mesh import DATA_AXIS, batch_sharded, replicated
 
 _TABLE_NAMES = (
-    "trans", "accept", "class_of", "buckets", "byte_to_rank"
+    "packed", "class_of", "buckets", "byte_to_rank"
 )
 
 
@@ -83,11 +83,11 @@ class ShardedEngine:
         row1 = P(axis)
 
         def per_shard(
-            trans, accept, class_of, buckets, byte_to_rank,
+            packed_trans, class_of, buckets, byte_to_rank,
             rows, n_payload, n_total,
         ):
             packed, counts, rounds, row_bad = pipeline(
-                trans, accept, class_of, buckets, byte_to_rank,
+                packed_trans, class_of, buckets, byte_to_rank,
                 rows, n_payload, n_total,
             )
             # psum-reduced corpus counters (replicated result): the
@@ -107,7 +107,7 @@ class ShardedEngine:
         sharded = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(rep,) * 5 + (row2, row1, row1),
+            in_specs=(rep,) * 4 + (row2, row1, row1),
             out_specs=(row2, row1, row1, rep),
             check_vma=False,
         )
