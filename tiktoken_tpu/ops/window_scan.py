@@ -159,10 +159,11 @@ def make_window_scan_fn(window: int, n_states: int, n_classes: int,
             return hop, alive
 
         # Phase 2: the few positions whose match spans more than W1 bytes
-        # continue on a compacted grid. Compaction overflow (degenerate
-        # input: most positions inside >W1-byte matches) marks everything
-        # unresolved so callers fall back safely.
-        u_cap = max(128, N // 6)
+        # continue on a compacted grid (measured 0.3% at W1=16 on mixed
+        # text). Compaction overflow (degenerate input: most positions
+        # inside >W1-byte matches) marks everything unresolved so callers
+        # fall back safely.
+        u_cap = max(128, N // 32)
         flat_alive = alive.reshape(-1)
         u_overflow = jnp.sum(flat_alive.astype(jnp.int32)) > u_cap
         upos = jnp.nonzero(flat_alive, size=u_cap, fill_value=0)[0]
@@ -194,6 +195,44 @@ def make_window_scan_fn(window: int, n_states: int, n_classes: int,
 
 
 def make_orbit_fn(K: int):
+    """Sequential orbit: piece starts are the chain 0, f(0), f(f(0)), ...
+    where f(p) = p + hop[p]. Rows advance in lockstep, one chain step per
+    while_loop iteration ([B]-lane gather + scatter, ~10us each), so the
+    cost scales with the PIECE count (~K/4.5 iterations), not with
+    log2(K) full-grid gather rounds like pointer doubling (~40x cheaper
+    at 2048-byte rows; HARDWARE.md random-access economics)."""
+    import jax
+    import jax.numpy as jnp
+
+    def orbit(hop, valid_len):
+        B = hop.shape[0]
+        rowsi = jnp.arange(B, dtype=jnp.int32)
+
+        def cond(st):
+            _mask, _cur, done = st
+            return ~done.all()
+
+        def body(st):
+            mask, cur, done = st
+            mask = mask.at[rowsi, jnp.where(done, 0, cur)].max(~done)
+            h = hop[rowsi, jnp.minimum(cur, K - 1)]
+            # hop <= 0 (dead/invalid position): stop the chain, matching
+            # the saturating semantics of the doubling formulation; the
+            # pipeline flags such rows via piece_start & (hop <= 0).
+            nxt = jnp.where(h > 0, cur + h, K)
+            done = done | (nxt >= valid_len)
+            return mask, jnp.minimum(nxt, K - 1), done
+
+        mask0 = jnp.zeros((B, K), dtype=bool)
+        cur0 = jnp.zeros((B,), jnp.int32)
+        done0 = valid_len <= 0
+        mask, _cur, _done = jax.lax.while_loop(cond, body, (mask0, cur0, done0))
+        return mask
+
+    return orbit
+
+
+def make_orbit_doubling_fn(K: int):
     """Jittable fn: (hop [B,K] int32, valid_len [B] int32)
     -> piece_start mask [B,K] bool (position 0 always set).
 
