@@ -35,7 +35,7 @@ from tiktoken_tpu.ops.pieces import (
     make_vocab_hit_fn,
 )
 from tiktoken_tpu.ops.slot_merge import make_slot_merge_fn
-from tiktoken_tpu.ops.window_scan import make_orbit_fn, make_window_scan_fn
+from tiktoken_tpu.ops.window_scan import make_seq_scan_fn
 
 
 def build_pipeline2_fn(
@@ -74,8 +74,7 @@ def build_pipeline2_fn(
     l_cap = max(64, N // 512)
     t_cap = max(512, N // 2)
 
-    scan_fn = make_window_scan_fn(W, n_states, n_classes)
-    orbit_fn = make_orbit_fn(K)
+    scan_fn = make_seq_scan_fn(KL, K, n_classes, eof_cls)
     catalog_fn = make_catalog_fn(B, K, p_cap)
     extract_fn = make_extract_fn(B, K, p_cap)
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
@@ -111,12 +110,9 @@ def build_pipeline2_fn(
         cls = class_of[rows.astype(jnp.int32)]
         cls = jnp.where(idx[None, :] >= n_total[:, None], eof_cls, cls)
         cls_ext = jnp.concatenate(
-            [cls, jnp.full((B, max(0, W - look)), eof_cls, cls.dtype)], axis=1
+            [cls, jnp.full((B, 1), eof_cls, cls.dtype)], axis=1
         )
-        hop, unresolved = scan_fn(packed_trans, cls_ext)
-        piece_start = orbit_fn(hop, n_payload)
-        bad = piece_start & (unresolved | (hop <= 0))
-        row_bad = bad.any(axis=1)
+        piece_start, row_bad = scan_fn(packed_trans, cls_ext, n_payload, n_total)
 
         starts, lens, n_pieces, _pid = catalog_fn(piece_start, n_payload)
         overflow = n_pieces > p_cap

@@ -366,8 +366,8 @@ def _patch(nfa: _Nfa, holes: list[tuple[int, int]], target: int) -> None:
         nfa.nodes[node_idx][1][slot] = target
 
 
-def _frag_for_lit(nfa: _Nfa, lit: Lit) -> _Frag:
-    seqs = utf8_byte_sequences(lit.cps)
+def _frag_for_lit(nfa: _Nfa, lit: Lit, seqs_fn=None) -> _Frag:
+    seqs = (seqs_fn or utf8_byte_sequences)(lit.cps)
     if not seqs:
         raise PatternError("empty character class")
     starts: list[int] = []
@@ -390,53 +390,53 @@ def _frag_for_lit(nfa: _Nfa, lit: Lit) -> _Frag:
     return _Frag(fan, holes)
 
 
-def _frag_for_toplevel(nfa: _Nfa, seq: Seq) -> int:
+def _frag_for_toplevel(nfa: _Nfa, seq: Seq, seqs_fn=None, look_fn=None) -> int:
     """Build one top-level alternative: inner fragments chained, terminated
     by an accept (possibly behind a lookahead verifier). Returns the start
     node."""
     items = [it for it in seq.items if not isinstance(it, Look)]
     look = seq.items[-1] if seq.items and isinstance(seq.items[-1], Look) else None
-    frags = [_frag_for_inner(nfa, it) for it in items]
+    frags = [_frag_for_inner(nfa, it, seqs_fn) for it in items]
     if not frags:
         raise PatternError("empty sequence alternative")
     for a, b in zip(frags, frags[1:]):
         _patch(nfa, a.holes, b.start)
-    tail = _frag_for_look(nfa, look)
+    tail = (look_fn or _frag_for_look)(nfa, look)
     _patch(nfa, frags[-1].holes, tail)
     return frags[0].start
 
 
-def _frag_for_inner(nfa: _Nfa, node) -> _Frag:
+def _frag_for_inner(nfa: _Nfa, node, seqs_fn=None) -> _Frag:
     """Fragment for a node in non-tail position (no accepts inside)."""
     if isinstance(node, Seq):
-        frags = [_frag_for_inner(nfa, it) for it in node.items]
+        frags = [_frag_for_inner(nfa, it, seqs_fn) for it in node.items]
         if not frags:
             raise PatternError("empty inner sequence")
         for a, b in zip(frags, frags[1:]):
             _patch(nfa, a.holes, b.start)
         return _Frag(frags[0].start, frags[-1].holes)
     if isinstance(node, Alt):
-        frags = [_frag_for_inner(nfa, opt) for opt in node.options]
+        frags = [_frag_for_inner(nfa, opt, seqs_fn) for opt in node.options]
         fan = nfa.add(["eps", [f.start for f in frags]])
         return _Frag(fan, [h for f in frags for h in f.holes])
     if isinstance(node, Rep):
-        return _frag_for_rep(nfa, node)
+        return _frag_for_rep(nfa, node, seqs_fn)
     if isinstance(node, Lit):
-        return _frag_for_lit(nfa, node)
+        return _frag_for_lit(nfa, node, seqs_fn)
     raise PatternError(f"cannot compile inner node {node}")
 
 
-def _frag_for_rep(nfa: _Nfa, rep: Rep) -> _Frag:
+def _frag_for_rep(nfa: _Nfa, rep: Rep, seqs_fn=None) -> _Frag:
     # X{lo,hi}: lo mandatory copies, then (hi-lo) optional greedy copies or
     # a greedy star. Greedy = the "one more X" branch outranks exiting.
     frags: list[_Frag] = []
     for _ in range(rep.lo):
-        frags.append(_frag_for_inner(nfa, rep.item))
+        frags.append(_frag_for_inner(nfa, rep.item, seqs_fn))
     holes: list[tuple[int, int]]
     if rep.hi is None:
         # star/plus tail: loop node with [continue, exit] priority order
         loop = nfa.add(["eps", [None, None]])
-        body = _frag_for_inner(nfa, rep.item)
+        body = _frag_for_inner(nfa, rep.item, seqs_fn)
         nfa.nodes[loop][1][0] = body.start
         _patch(nfa, body.holes, loop)
         tail_start = loop
@@ -454,7 +454,7 @@ def _frag_for_rep(nfa: _Nfa, rep: Rep) -> _Frag:
     prev_exit_holes: list[tuple[int, int]] = []
     first_opt: Optional[int] = None
     for _ in range(n_opt):
-        body = _frag_for_inner(nfa, rep.item)
+        body = _frag_for_inner(nfa, rep.item, seqs_fn)
         choice = nfa.add(["eps", [body.start, None]])  # take X first (greedy)
         if first_opt is None:
             first_opt = choice
@@ -756,3 +756,260 @@ def split_pieces(dfa: ScannerDFA, data: bytes) -> list[bytes]:
 @functools.lru_cache(maxsize=32)
 def compile_pattern_cached(pat_str: str) -> ScannerDFA:
     return compile_pattern(pat_str)
+
+
+# ---------------------------------------------------------------------------
+# Char-level compilation: the same scanner automaton over Unicode scalar
+# values instead of UTF-8 bytes. One transition per CHARACTER makes the
+# streaming-transducer construction tractable (the byte-level transducer
+# state space explodes on cl100k/o200k; ops/scanner.py), and accept rewinds
+# are counted in characters (never more than one char of lookahead).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CharScannerDFA:
+    """Scanner DFA over codepoint equivalence classes.
+
+    - ``edges``: ascending codepoint boundaries; codepoint cp belongs to
+      segment ``bisect_right(edges, cp) - 1`` (edges[0] == 0,
+      edges[-1] == 0x110000).
+    - ``seg_class``: [n_segments] segment -> DFA class id.
+    - ``eof_class``: the virtual end-of-text symbol's class.
+    - trans/accept: as ScannerDFA, but accept rewinds count CHARS.
+    """
+
+    trans: np.ndarray
+    accept: np.ndarray
+    edges: np.ndarray
+    seg_class: np.ndarray
+    eof_class: int
+    n_states: int
+    n_classes: int
+    pat_str: str
+
+    START = 1
+    DEAD = 0
+
+    def class_of_cp(self, cp: int) -> int:
+        import bisect as _b
+
+        return int(self.seg_class[_b.bisect_right(self.edges, cp) - 1])
+
+
+def _collect_interval_sets(node, out: list) -> None:
+    if isinstance(node, Lit):
+        out.append(node.cps)
+    elif isinstance(node, Look):
+        if node.cps:
+            out.append(node.cps)
+    elif isinstance(node, Seq):
+        for it in node.items:
+            _collect_interval_sets(it, out)
+    elif isinstance(node, Alt):
+        for it in node.options:
+            _collect_interval_sets(it, out)
+    elif isinstance(node, Rep):
+        _collect_interval_sets(node.item, out)
+
+
+def compile_pattern_chars(pat_str: str, *, minimize: bool = True) -> CharScannerDFA:
+    ast = parse_pattern(pat_str)
+
+    sets: list = []
+    _collect_interval_sets(ast, sets)
+    bounds = {0, 0x110000}
+    for s in sets:
+        for lo, hi in s:
+            bounds.add(lo)
+            bounds.add(hi + 1)
+    bounds.discard(0x110001)
+    edges = sorted(b for b in bounds if b <= 0x110000)
+    n_segments = len(edges) - 1
+    eof_symbol = n_segments  # one extra symbol for end-of-text
+    n_symbols = n_segments + 1
+
+    import bisect as _b
+
+    def seg_ranges(cps) -> list:
+        """Each codepoint interval -> one single-symbol 'sequence'."""
+        out = []
+        for lo, hi in cps:
+            c0 = _b.bisect_right(edges, lo) - 1
+            c1 = _b.bisect_right(edges, hi) - 1
+            out.append(((c0, c1),))
+        if not out:
+            raise PatternError("empty character class")
+        return out
+
+    def look_fn(nfa: _Nfa, look):
+        if look is None:
+            return nfa.add(["accept", 0])
+        targets: list[int] = []
+        if look.eof_ok:
+            acc = nfa.add(["accept", 1])
+            targets.append(nfa.add(["byte", [acc], eof_symbol, eof_symbol]))
+        if look.cps:
+            acc = nfa.add(["accept", 1])
+            opts = []
+            for (c0, c1), in seg_ranges(look.cps):
+                opts.append(nfa.add(["byte", [acc], c0, c1]))
+            targets.extend(opts)
+        if not targets:
+            raise PatternError("unsatisfiable lookahead")
+        if len(targets) == 1:
+            return targets[0]
+        return nfa.add(["eps", list(targets)])
+
+    nfa = _Nfa()
+    option_starts = [
+        _frag_for_toplevel(nfa, opt, seqs_fn=seg_ranges, look_fn=look_fn)
+        for opt in ast.options
+    ]
+    start = nfa.add(["eps", option_starts])
+
+    trans, accept, sym_class = _tables_from_nfa(nfa, start, n_symbols)
+    # Column dedup: segments with identical transition columns are one
+    # class (e.g. the ~650 \p{Lu} intervals collapse to one).
+    cols, colmap = np.unique(trans.T, axis=0, return_inverse=True)
+    trans = cols.T.astype(trans.dtype)
+    sym_class = colmap[sym_class.astype(np.int64)].astype(np.uint16)
+    dfa = CharScannerDFA(
+        trans=trans,
+        accept=accept,
+        edges=np.asarray(edges, dtype=np.int64),
+        seg_class=sym_class[:n_segments].copy(),
+        eof_class=int(sym_class[eof_symbol]),
+        n_states=trans.shape[0],
+        n_classes=trans.shape[1],
+        pat_str=pat_str,
+    )
+    return minimize_char_dfa(dfa) if minimize else dfa
+
+
+def _tables_from_nfa(nfa: _Nfa, start: int, n_symbol_space: int):
+    """Subset construction over an arbitrary symbol space. Returns
+    (trans [S, n_classes], accept [S], class_of_symbol [n_symbol_space])."""
+    bounds = {0, n_symbol_space}
+    for node in nfa.nodes:
+        if node[0] == "byte":
+            _, _, lo, hi = node
+            bounds.add(lo)
+            bounds.add(hi + 1)
+    edges = sorted(b for b in bounds if b <= n_symbol_space)
+    class_of = np.zeros(n_symbol_space, dtype=np.uint16)
+    for cls, (lo, hi) in enumerate(zip(edges, edges[1:])):
+        class_of[lo:hi] = cls
+    n_classes = len(edges) - 1
+
+    import bisect as _bisect
+
+    node_cls_range: dict[int, tuple[int, int]] = {}
+    for i, node in enumerate(nfa.nodes):
+        if node[0] == "byte":
+            _, _, lo, hi = node
+            c0 = _bisect.bisect_right(edges, lo) - 1
+            c1 = _bisect.bisect_right(edges, hi) - 1
+            node_cls_range[i] = (c0, c1)
+
+    closure_cache: dict[tuple[int, ...], tuple[int, ...]] = {}
+
+    def closure(starts: tuple[int, ...]) -> tuple[int, ...]:
+        got = closure_cache.get(starts)
+        if got is None:
+            got = _closure(nfa, starts)
+            closure_cache[starts] = got
+        return got
+
+    start_state = closure((start,))
+    states: dict[tuple[int, ...], int] = {(): 0, start_state: 1}
+    order: list[tuple[int, ...]] = [(), start_state]
+    trans_rows: list[list[int]] = [[0] * n_classes]
+    accepts: list[int] = [-1]
+
+    idx = 1
+    while idx < len(order):
+        state = order[idx]
+        acc = -1
+        per_class: list[list[int]] = [[] for _ in range(n_classes)]
+        for n in state:
+            node = nfa.nodes[n]
+            if node[0] == "byte":
+                c0, c1 = node_cls_range[n]
+                tgt = node[1][0]
+                for cls in range(c0, c1 + 1):
+                    per_class[cls].append(tgt)
+            elif node[0] == "accept":
+                acc = node[1]
+        if acc > MAX_REWIND:
+            raise PatternError(f"rewind {acc} exceeds MAX_REWIND")
+
+        row = [0] * n_classes
+        for cls in range(n_classes):
+            nxt = per_class[cls]
+            if not nxt:
+                continue
+            closed = closure(tuple(nxt))
+            got = states.get(closed)
+            if got is None:
+                got = len(order)
+                states[closed] = got
+                order.append(closed)
+            row[cls] = got
+        trans_rows.append(row)
+        accepts.append(acc)
+        idx += 1
+
+    n_states = len(order)
+    dtype = np.uint16 if n_states < 2**16 else np.uint32
+    trans = np.zeros((n_states, n_classes), dtype=dtype)
+    for i, row in enumerate(trans_rows):
+        trans[i] = row
+    accept = np.asarray(accepts, dtype=np.int8)
+    return trans, accept, class_of
+
+
+def minimize_char_dfa(dfa: CharScannerDFA) -> CharScannerDFA:
+    base = ScannerDFA(
+        trans=dfa.trans, accept=dfa.accept,
+        class_of=np.zeros(257, np.uint16),  # unused by minimize_dfa
+        n_states=dfa.n_states, n_classes=dfa.n_classes, pat_str=dfa.pat_str,
+    )
+    m = minimize_dfa(base)
+    return CharScannerDFA(
+        trans=m.trans, accept=m.accept, edges=dfa.edges,
+        seg_class=dfa.seg_class, eof_class=dfa.eof_class,
+        n_states=m.n_states, n_classes=m.n_classes, pat_str=dfa.pat_str,
+    )
+
+
+def scan_codepoints(dfa: CharScannerDFA, text: str) -> list[int]:
+    """Maximal-munch scan over chars. Returns piece start CHAR offsets."""
+    classes = [dfa.class_of_cp(ord(ch)) for ch in text]
+    n = len(classes)
+    eof_cls = dfa.eof_class
+    trans, accept = dfa.trans, dfa.accept
+    starts: list[int] = []
+    i = 0
+    while i < n:
+        starts.append(i)
+        s = CharScannerDFA.START
+        last_end = -1
+        p = i
+        while True:
+            cls = classes[p] if p < n else eof_cls
+            p += 1
+            s = int(trans[s][cls])
+            if s == CharScannerDFA.DEAD:
+                break
+            a = int(accept[s])
+            if a >= 0:
+                last_end = p - a
+            if p > n:
+                break
+        if last_end <= i:
+            raise RuntimeError(
+                f"char scanner made no progress at char {i} (pattern {dfa.pat_str!r})"
+            )
+        i = last_end
+    return starts

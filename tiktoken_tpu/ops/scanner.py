@@ -33,8 +33,8 @@ import numpy as np
 
 from tiktoken_tpu.ops.regex_compiler import ScannerDFA
 
-BUF_MAX = 14  # exploration asserts buffers stay below this
-EMIT_BITS = 16
+BUF_MAX = 24  # exploration asserts buffers stay below this
+EMIT_BITS = 32
 
 _ERROR = ("ERROR",)
 _FRESH_BUF: tuple[int, ...] = ()
@@ -44,7 +44,7 @@ _FRESH = (0 + 1, _FRESH_BUF, False)  # (ScannerDFA.START, empty buffer, no accep
 @dataclass
 class ScannerTransducer:
     trans: np.ndarray  # [n_states, n_classes] uint16/uint32
-    emit: np.ndarray  # [n_states, n_classes] uint16, bit j => start at pos-j
+    emit: np.ndarray  # [n_states, n_classes] uint32, bit j => start at pos-j
     class_of: np.ndarray  # [257] byte/EOF -> class
     eof_class: int
     n_states: int
@@ -56,10 +56,33 @@ class ScannerTransducer:
 
 
 def build_transducer(dfa: ScannerDFA, *, max_states: int = 400_000) -> ScannerTransducer:
-    trans_tbl = [list(map(int, row)) for row in dfa.trans]
-    acc_tbl = [int(a) for a in dfa.accept]
-    eof_cls = int(dfa.class_of[256])
-    n_classes = dfa.n_classes
+    return _build_transducer_tables(
+        dfa.trans, dfa.accept, int(dfa.class_of[256]), dfa.n_classes,
+        dfa.class_of, dfa.pat_str, max_states=max_states,
+    )
+
+
+def build_transducer_chars(cdfa, *, max_states: int = 400_000) -> ScannerTransducer:
+    """Transducer over a CharScannerDFA (regex_compiler.compile_pattern_chars):
+    one table step per CHARACTER, emit offsets in characters. The returned
+    transducer's class_of is a dummy (char classes come from the codepoint
+    class tables, not a 257-byte map)."""
+    import numpy as _np
+
+    dummy = _np.zeros(257, dtype=_np.uint16)
+    dummy[256] = cdfa.eof_class
+    return _build_transducer_tables(
+        cdfa.trans, cdfa.accept, cdfa.eof_class, cdfa.n_classes,
+        dummy, cdfa.pat_str, max_states=max_states,
+    )
+
+
+def _build_transducer_tables(dfa_trans, dfa_accept, eof_cls_in, n_classes_in,
+                             class_of, pat_str, *, max_states: int = 400_000) -> ScannerTransducer:
+    trans_tbl = [list(map(int, row)) for row in dfa_trans]
+    acc_tbl = [int(a) for a in dfa_accept]
+    eof_cls = eof_cls_in
+    n_classes = n_classes_in
     memo: dict = {}
 
     def consume(state, c: int):
@@ -154,13 +177,13 @@ def build_transducer(dfa: ScannerDFA, *, max_states: int = 400_000) -> ScannerTr
     dtype = np.uint16 if n_states < 2**16 else np.uint32
     td = ScannerTransducer(
         trans=np.asarray(rows_trans, dtype=dtype),
-        emit=np.asarray(rows_emit, dtype=np.uint16),
-        class_of=dfa.class_of.copy(),
+        emit=np.asarray(rows_emit, dtype=np.uint32),
+        class_of=np.asarray(class_of).copy(),
         eof_class=eof_cls,
         n_states=n_states,
         n_classes=n_classes,
         error_state=1,
-        pat_str=dfa.pat_str,
+        pat_str=pat_str,
     )
     return minimize_transducer(td)
 
@@ -201,7 +224,7 @@ def minimize_transducer(td: ScannerTransducer) -> ScannerTransducer:
     reps[new_ids] = np.arange(td.n_states)
     dtype = np.uint16 if new_n < 2**16 else np.uint32
     new_trans = np.zeros((new_n, td.n_classes), dtype=dtype)
-    new_emit = np.zeros((new_n, td.n_classes), dtype=np.uint16)
+    new_emit = np.zeros((new_n, td.n_classes), dtype=np.uint32)
     for b in range(new_n):
         rep = reps[b]
         new_trans[b] = new_ids[trans[rep]]

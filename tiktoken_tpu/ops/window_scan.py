@@ -264,3 +264,133 @@ def make_orbit_doubling_fn(K: int):
         return mask
 
     return orbit
+
+
+# ---------------------------------------------------------------------------
+# Sequential scanner: the reference's maximal-munch loop, vectorized over
+# row lanes. One while_loop iteration consumes one byte per row (plus one
+# restart iteration per piece), so the total work is ~1.25 steps/byte of
+# [B]-lane gathers instead of the window scan's W lookups per byte. Rows
+# advance independently; the loop runs until every row's scan completes.
+# Replaces window-scan + orbit in one pass (reference: src/lib.rs:363-365
+# find_iter semantics; host spec: regex_compiler.scan_classes).
+# ---------------------------------------------------------------------------
+
+
+def make_seq_scan_fn(KL: int, K: int, n_classes: int, eof_cls: int):
+    """jit-able: (packed [S,C] i32 (pack_trans_accept),
+    classes_ext [B, KL+1] i32 (EOF at >= n_total and in column KL),
+    n_payload [B] i32, n_total [B] i32)
+    -> (piece_start [B,K] bool, row_bad [B] bool)."""
+    import jax
+    import jax.numpy as jnp
+
+    acc_mask = (1 << ACC_BITS) - 1
+    START = ScannerDFA.START
+    DEAD = ScannerDFA.DEAD
+
+    UNROLL = 1  # steps per while_loop iteration (unrolling measured no win)
+
+    def scan(packed, classes_ext, n_payload, n_total):
+        B = classes_ext.shape[0]
+        flat_t = packed.reshape(-1)
+        cls_flat = classes_ext.reshape(-1)
+        row_base = jnp.arange(B, dtype=jnp.int32) * (KL + 1)
+        rows_i = jnp.arange(B, dtype=jnp.int32)
+
+        def cond(st):
+            it = st[-2]
+            return (~st[-1].all()) & (it < 3 * (KL + 2))
+
+        def substep(p, s, mstart, lend, mask, bad, done, n_payload, n_total):
+            cls = cls_flat[row_base + jnp.minimum(p, KL)]
+            v = flat_t[s * n_classes + cls]
+            s2 = (v >> ACC_BITS).astype(jnp.int32)
+            a = (v & acc_mask) - 1
+            consumed_eof = p >= n_total  # this step read the EOF sentinel
+            fired = (s2 != DEAD) & (a >= 0)
+            lend2 = jnp.where(fired, p + 1 - a, lend)
+            died = (s2 == DEAD) | consumed_eof
+
+            # death: resolve the in-flight match at its last accept end
+            no_progress = died & (lend2 <= mstart)
+            new_start = jnp.where(died, lend2, mstart)
+            mask = mask.at[
+                rows_i,
+                jnp.where(done | ~died, 0, jnp.minimum(jnp.maximum(mstart, 0), K - 1)),
+            ].max(died & ~done & (mstart < n_payload))
+            finished = new_start >= n_payload
+            p2 = jnp.where(died, lend2, p + 1)
+            s3 = jnp.where(died, START, s2)
+            lend3 = jnp.where(died, jnp.int32(-1), lend2)
+            bad = bad | (no_progress & ~done & ~finished)
+            done2 = done | (died & (finished | no_progress))
+            p2 = jnp.where(done2, p, p2)
+            return (
+                p2.astype(jnp.int32), s3.astype(jnp.int32),
+                new_start.astype(jnp.int32), lend3.astype(jnp.int32),
+                mask, bad, done2,
+            )
+
+        def body(st):
+            p, s, mstart, lend, mask, bad, it, done = st
+            for _ in range(UNROLL):
+                p, s, mstart, lend, mask, bad, done = substep(
+                    p, s, mstart, lend, mask, bad, done, n_payload, n_total
+                )
+            return p, s, mstart, lend, mask, bad, it + UNROLL, done
+
+        p0 = jnp.zeros((B,), jnp.int32)
+        s0 = jnp.full((B,), START, jnp.int32)
+        ms0 = jnp.zeros((B,), jnp.int32)
+        le0 = jnp.full((B,), -1, jnp.int32)
+        mask0 = jnp.zeros((B, K), bool)
+        bad0 = jnp.zeros((B,), bool)
+        done0 = n_payload <= 0
+        # first piece start (position 0) is marked by the first death's
+        # mstart=0 emission
+        st = jax.lax.while_loop(
+            cond, body, (p0, s0, ms0, le0, mask0, bad0, jnp.int32(0), done0)
+        )
+        mask, bad, done = st[4], st[5], st[7]
+        # safety-bound exhaustion (cannot happen on valid input): flag rows
+        bad = bad | ~done
+        return mask, bad
+
+    return scan
+
+
+def seq_scan_numpy(dfa: ScannerDFA, packed, classes_ext, n_payload, n_total, K):
+    """numpy spec of make_seq_scan_fn for one row (validation)."""
+    import numpy as _np
+
+    cls = classes_ext
+    n = int(n_payload)
+    starts = []
+    bad = False
+    if n > 0:
+        i = 0
+        while i < n:
+            starts.append(i)
+            s = ScannerDFA.START
+            last_end = -1
+            p = i
+            while True:
+                c = int(cls[min(p, len(cls) - 1)])
+                v = int(packed.reshape(-1)[s * dfa.n_classes + c])
+                s = v >> ACC_BITS
+                a = (v & ((1 << ACC_BITS) - 1)) - 1
+                if s != ScannerDFA.DEAD and a >= 0:
+                    last_end = p + 1 - a
+                if s == ScannerDFA.DEAD or p >= int(n_total):
+                    break
+                p += 1
+            if last_end <= i:
+                bad = True
+                break
+            i = last_end
+    mask = _np.zeros(K, bool)
+    for st in starts:
+        if st < K:
+            mask[st] = True
+    return mask, bad
