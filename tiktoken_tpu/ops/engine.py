@@ -44,20 +44,39 @@ from tiktoken_tpu.ops.window_scan import (
 )
 
 LOOK = 16  # true continuation bytes per row
-DEFAULT_ROW = 2048  # payload bytes per row
-DEFAULT_CHUNK_ROWS = 512  # rows per device dispatch (one compiled shape)
+DEFAULT_ROW = 256  # payload bytes per row (short rows: scan iterations ~ row length)
+DEFAULT_CHUNK_ROWS = 4096  # rows per device dispatch (one compiled shape)
 
 
 def _find_safe_splits(data: np.ndarray) -> np.ndarray:
-    """Offsets i such that data[i-1] in {\\r, \\n} and data[i] is an ASCII
-    letter: guaranteed piece starts for all shipped patterns."""
+    """Offsets guaranteed to start a piece in any context, for all shipped
+    patterns (differentially validated in tests/test_device.py):
+
+    - newline -> ASCII letter: data[i-1] in {\\r,\\n}, data[i] a letter
+      (no alternative spans newline->letter);
+    - printable -> space -> ASCII letter: data[i] == ' ', data[i+1] a
+      letter, data[i-1] ASCII printable non-space (the ' ?' prefixes bind
+      the space to the following word; no match can carry a non-ws char
+      across a space).
+
+    The second rule fires every few words in real text, so short rows
+    (K=256) pack without hard cuts — row length drives the sequential
+    scanner's iteration count (HARDWARE.md: small-gather latency)."""
     if len(data) < 2:
         return np.zeros(0, dtype=np.int64)
+    is_letter = ((data >= 0x41) & (data <= 0x5A)) | ((data >= 0x61) & (data <= 0x7A))
     prev_nl = (data[:-1] == 0x0A) | (data[:-1] == 0x0D)
-    is_letter = ((data[1:] >= 0x41) & (data[1:] <= 0x5A)) | (
-        (data[1:] >= 0x61) & (data[1:] <= 0x7A)
-    )
-    return np.nonzero(prev_nl & is_letter)[0] + 1
+    nl_rule = prev_nl & is_letter[1:]
+    out = np.nonzero(nl_rule)[0] + 1
+    if len(data) >= 3:
+        sp_rule = (
+            (data[1:-1] == 0x20)
+            & is_letter[2:]
+            & (data[:-2] >= 0x21)
+            & (data[:-2] <= 0x7E)
+        )
+        out = np.union1d(out, np.nonzero(sp_rule)[0] + 1)
+    return out
 
 
 @dataclass
