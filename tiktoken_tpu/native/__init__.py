@@ -1,0 +1,142 @@
+"""ctypes loader for the native host core (core.cpp).
+
+Compiled on first use with the system g++ (-O3) and cached next to the
+other compiled artifacts, keyed by the source hash — the same lazy,
+cache-once model as the DFA/vocab table compilation. Everything degrades
+gracefully: if no compiler is available the host engine silently stays on
+the pure-Python path (tiktoken_tpu/_pybpe.py), which is the semantic spec
+the native core is differentially tested against.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "core.cpp")
+
+
+def _artifact_dir() -> str:
+    from tiktoken_tpu.ops.artifacts import _artifact_dir as d
+
+    return d() or os.path.join(tempfile.gettempdir(), "tiktoken-tpu-compiled")
+
+
+def load_library():
+    """Compile (once) and load the native core; None if unavailable."""
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if os.environ.get("TIKTOKEN_TPU_NO_NATIVE"):
+        return None
+    try:
+        with open(_SRC, "rb") as f:
+            src = f.read()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        d = _artifact_dir()
+        os.makedirs(d, exist_ok=True)
+        so_path = os.path.join(d, f"ttpu_core_{tag}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + f".{os.getpid()}.tmp"
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp],
+                check=True, capture_output=True, timeout=300,
+            )
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+        lib.ttpu_new.restype = ctypes.c_void_p
+        lib.ttpu_new.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ttpu_free.argtypes = [ctypes.c_void_p]
+        lib.ttpu_encode.restype = ctypes.c_int64
+        lib.ttpu_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.ttpu_encode_piece.restype = ctypes.c_int64
+        lib.ttpu_encode_piece.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+class NativeCore:
+    """Handle around one compiled (pat_str, vocab) native engine."""
+
+    def __init__(self, pat_str: str, mergeable_ranks: dict[bytes, int]):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native core unavailable")
+        from tiktoken_tpu.ops import artifacts
+        from tiktoken_tpu.ops.window_scan import pack_trans_accept
+
+        dfa = artifacts.cached_scanner_dfa(pat_str)
+        packed = np.ascontiguousarray(
+            pack_trans_accept(dfa.trans, dfa.accept), dtype=np.int32
+        )
+        class_of = np.ascontiguousarray(dfa.class_of, dtype=np.uint16)
+
+        toks = sorted(mergeable_ranks.items(), key=lambda kv: kv[1])
+        blob = b"".join(t for t, _ in toks)
+        offs = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t, _ in toks], out=offs[1:])
+        rank_arr = np.asarray([r for _, r in toks], dtype=np.uint32)
+        blob_arr = np.frombuffer(blob, dtype=np.uint8) if blob else np.zeros(0, np.uint8)
+
+        self._lib = lib
+        self._keepalive = (packed, class_of, blob_arr, offs, rank_arr)
+        self._h = lib.ttpu_new(
+            packed.ctypes.data, dfa.n_states, dfa.n_classes, class_of.ctypes.data,
+            blob_arr.ctypes.data if len(blob_arr) else None,
+            offs.ctypes.data, rank_arr.ctypes.data, len(toks),
+        )
+        if not self._h:
+            raise RuntimeError("native core init failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.ttpu_free(h)
+            self._h = None
+
+    def encode_ordinary(self, text: str) -> list[int]:
+        data = text.encode("utf-8")
+        return self.encode_ordinary_bytes(data)
+
+    def encode_ordinary_bytes(self, data: bytes) -> list[int]:
+        return self.encode_with_lptl(data)[0]
+
+    def encode_with_lptl(self, data: bytes) -> tuple[list[int], int]:
+        """(tokens, last_piece_token_len) for one special-free segment."""
+        if not data:
+            return [], 0
+        cap = len(data) + 2
+        out = np.empty(cap, dtype=np.uint32)
+        lptl = ctypes.c_int64(0)
+        n = self._lib.ttpu_encode(
+            self._h, data, len(data), out.ctypes.data, cap, ctypes.byref(lptl)
+        )
+        if n < 0 or n > cap or (n and out[:n].max() == 0xFFFFFFFF):
+            raise RuntimeError("native encode failed")
+        return out[:n].tolist(), int(lptl.value)
+
+    def encode_piece(self, piece: bytes) -> list[int]:
+        cap = len(piece) + 2
+        out = np.empty(cap, dtype=np.uint32)
+        n = self._lib.ttpu_encode_piece(self._h, piece, len(piece), out.ctypes.data, cap)
+        return out[:n].tolist()

@@ -1,0 +1,246 @@
+// Native host BPE core: the C++ counterpart of the reference's Rust core
+// (reference: src/lib.rs — reimplemented from the documented semantics in
+// tiktoken_tpu/_pybpe.py, not translated).
+//
+// The pre-tokenizer runs the SAME compiled scanner DFA tables the device
+// uses (ops/regex_compiler.py, packed via ops/window_scan.pack_trans_accept),
+// so host and device splits are identical by construction — including the
+// Unicode-version corrections baked into the tables. Merging is greedy
+// lowest-rank-first with leftmost tie-break; whole-piece vocabulary hits
+// short-circuit (the vocab is the cache).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+#include <queue>
+
+namespace {
+
+constexpr uint32_t RANK_MAX = 0xFFFFFFFFu;
+constexpr int ACC_BITS = 5;
+constexpr int DEAD = 0;
+constexpr int START = 1;
+
+struct Core {
+    // scanner tables
+    std::vector<int32_t> packed;   // [n_states * n_classes]
+    std::vector<uint16_t> class_of; // [257]
+    int n_classes = 0;
+
+    // vocabulary
+    std::unordered_map<std::string, uint32_t> ranks; // token bytes -> rank
+};
+
+// Greedy BPE over one piece; returns token ids. Semantics identical to
+// _pybpe.byte_pair_merge_boundaries: repeatedly merge the adjacent pair
+// whose concatenated bytes have the lowest rank, leftmost on ties.
+static void byte_pair_encode(const Core& c, const char* piece, size_t n,
+                             std::vector<uint32_t>& out) {
+    if (n == 1) {
+        auto it = c.ranks.find(std::string(piece, 1));
+        out.push_back(it->second);
+        return;
+    }
+    // boundary offsets 0..n; pair_rank[i] = rank of merging token at
+    // parts[i] with token at parts[i+1]
+    std::vector<uint32_t> parts(n + 1);
+    for (size_t i = 0; i <= n; ++i) parts[i] = (uint32_t)i;
+    auto get_rank = [&](uint32_t lo, uint32_t hi) -> uint32_t {
+        auto it = c.ranks.find(std::string(piece + lo, hi - lo));
+        return it == c.ranks.end() ? RANK_MAX : it->second;
+    };
+    std::vector<uint32_t> pr(n + 1, RANK_MAX);
+    for (size_t i = 0; i + 2 <= n; ++i) pr[i] = get_rank(i, (uint32_t)(i + 2));
+
+    size_t nparts = n + 1;
+    while (true) {
+        uint32_t best = RANK_MAX;
+        size_t bi = 0;
+        for (size_t i = 0; i + 1 < nparts; ++i) {
+            if (pr[i] < best) { best = pr[i]; bi = i; }
+        }
+        if (best == RANK_MAX) break;
+        // merge at bi: remove boundary bi+1
+        parts.erase(parts.begin() + (long)(bi + 1));
+        pr.erase(pr.begin() + (long)(bi + 1));
+        nparts -= 1;
+        // recompute ranks at bi-1 and bi
+        if (bi > 0)
+            pr[bi - 1] = (bi + 1 < nparts)
+                ? get_rank(parts[bi - 1], parts[bi + 1]) : RANK_MAX;
+        pr[bi] = (bi + 2 < nparts)
+            ? get_rank(parts[bi], parts[bi + 2]) : RANK_MAX;
+        if (bi + 1 < nparts) {
+            // pair starting at bi+1 unchanged unless it was the erased one
+        }
+    }
+    for (size_t i = 0; i + 1 < nparts; ++i) {
+        auto it = c.ranks.find(std::string(piece + parts[i], parts[i + 1] - parts[i]));
+        out.push_back(it->second);
+    }
+}
+
+// Heap variant for large pieces: O(m log m) merges with lazy invalidation
+// (same semantics: lowest rank first, leftmost on ties — the min-heap
+// orders by (rank, position)). Mirrors _pybpe._byte_pair_merge_heap.
+static void byte_pair_encode_large(const Core& c, const char* piece, size_t n,
+                                   std::vector<uint32_t>& out) {
+    std::vector<uint32_t> nxt(n + 1), prv(n + 1);
+    std::vector<uint8_t> alive(n + 1, 1);
+    for (size_t i = 0; i <= n; ++i) {
+        nxt[i] = (uint32_t)(i + 1);
+        prv[i] = (uint32_t)(i == 0 ? 0 : i - 1);
+    }
+    auto get_rank = [&](uint32_t lo, uint32_t hi) -> uint32_t {
+        if (hi > n) return RANK_MAX;
+        auto it = c.ranks.find(std::string(piece + lo, hi - lo));
+        return it == c.ranks.end() ? RANK_MAX : it->second;
+    };
+    using Ent = std::pair<uint32_t, uint32_t>;  // (rank, start boundary)
+    std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
+    for (size_t i = 0; i + 2 <= n; ++i) {
+        uint32_t r = get_rank((uint32_t)i, (uint32_t)(i + 2));
+        if (r != RANK_MAX) heap.push({r, (uint32_t)i});
+    }
+    while (!heap.empty()) {
+        auto [r, i] = heap.top();
+        heap.pop();
+        if (!alive[i]) continue;
+        uint32_t j = nxt[i];          // boundary being removed
+        if (j > n || !alive[j]) continue;
+        uint32_t k = nxt[j];          // end of the pair
+        if (k > n) continue;
+        if (get_rank(i, k) != r) continue;  // stale entry
+        // merge: remove boundary j
+        alive[j] = 0;
+        nxt[i] = k;
+        prv[k] = i;
+        // new pair to the left: (prv[i], i, k)
+        if (i > 0) {
+            uint32_t l = prv[i];
+            uint32_t nr = get_rank(l, k);
+            if (nr != RANK_MAX) heap.push({nr, l});
+        }
+        // new pair to the right: (i, k, nxt[k])
+        if (k < n) {
+            uint32_t m = nxt[k];
+            uint32_t nr = (m <= n) ? get_rank(i, m) : RANK_MAX;
+            if (nr != RANK_MAX) heap.push({nr, i});
+        }
+    }
+    uint32_t i = 0;
+    while (i < n) {
+        uint32_t j = nxt[i];
+        auto it = c.ranks.find(std::string(piece + i, j - i));
+        out.push_back(it->second);
+        i = j;
+    }
+}
+
+// Maximal-munch scan + encode of one UTF-8 document. Returns the token
+// count of the final piece (the reference's last_piece_token_len,
+// reference: src/lib.rs:439-441).
+static int64_t encode_doc(const Core& c, const char* data, size_t n,
+                          std::vector<uint32_t>& out) {
+    size_t last_piece_tokens_before = 0;
+    const int32_t* T = c.packed.data();
+    const uint16_t* CL = c.class_of.data();
+    const int C = c.n_classes;
+    size_t i = 0;
+    while (i < n) {
+        int s = START;
+        long last_end = -1;
+        size_t p = i;
+        while (true) {
+            int cls = (p < n) ? CL[(unsigned char)data[p]] : CL[256];
+            int32_t v = T[s * C + cls];
+            s = v >> ACC_BITS;
+            int a = (v & ((1 << ACC_BITS) - 1)) - 1;
+            if (s != DEAD && a >= 0) last_end = (long)(p + 1) - a;
+            if (s == DEAD || p >= n) break;
+            ++p;
+        }
+        if (last_end <= (long)i) {
+            // no progress: invalid input for this scanner (caller verified
+            // UTF-8, so this should not happen); bail out defensively
+            out.push_back(RANK_MAX);
+            return 0;
+        }
+        size_t end = (size_t)last_end;
+        last_piece_tokens_before = out.size();
+        // whole-piece vocabulary hit short-circuits the merge
+        auto it = c.ranks.find(std::string(data + i, end - i));
+        if (it != c.ranks.end()) {
+            out.push_back(it->second);
+        } else if (end - i >= 512) {
+            byte_pair_encode_large(c, data + i, end - i, out);
+        } else {
+            byte_pair_encode(c, data + i, end - i, out);
+        }
+        i = end;
+    }
+    return (int64_t)(out.size() - last_piece_tokens_before);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ttpu_new(const int32_t* packed, int n_states, int n_classes,
+               const uint16_t* class_of,
+               const uint8_t* token_blob, const int64_t* token_offsets,
+               const uint32_t* token_ranks, int64_t n_tokens) {
+    Core* c = new Core();
+    c->packed.assign(packed, packed + (size_t)n_states * n_classes);
+    c->class_of.assign(class_of, class_of + 257);
+    c->n_classes = n_classes;
+    c->ranks.reserve((size_t)n_tokens * 2);
+    for (int64_t t = 0; t < n_tokens; ++t) {
+        c->ranks.emplace(
+            std::string((const char*)token_blob + token_offsets[t],
+                        (size_t)(token_offsets[t + 1] - token_offsets[t])),
+            token_ranks[t]);
+    }
+    return c;
+}
+
+void ttpu_free(void* h) { delete (Core*)h; }
+
+// Encode one document. Returns the token count; writes at most cap tokens
+// into out (cap >= n+1 always suffices: one token per byte max).
+// last_piece_len (may be null) receives the final piece's token count.
+int64_t ttpu_encode(void* h, const char* data, int64_t n,
+                    uint32_t* out, int64_t cap, int64_t* last_piece_len) {
+    Core* c = (Core*)h;
+    std::vector<uint32_t> toks;
+    toks.reserve((size_t)(n / 3 + 8));
+    int64_t lptl = encode_doc(*c, data, (size_t)n, toks);
+    if (last_piece_len) *last_piece_len = lptl;
+    int64_t m = (int64_t)toks.size();
+    if (m > cap) m = cap;
+    std::memcpy(out, toks.data(), (size_t)m * 4);
+    return (int64_t)toks.size();
+}
+
+// Encode a single piece with BPE only (no regex split, no special tokens):
+// the native form of _encode_single_piece's merge loop.
+int64_t ttpu_encode_piece(void* h, const char* data, int64_t n,
+                          uint32_t* out, int64_t cap) {
+    Core* c = (Core*)h;
+    std::vector<uint32_t> toks;
+    auto it = c->ranks.find(std::string(data, (size_t)n));
+    if (it != c->ranks.end()) toks.push_back(it->second);
+    else if ((size_t)n >= 512) byte_pair_encode_large(*c, data, (size_t)n, toks);
+    else byte_pair_encode(*c, data, (size_t)n, toks);
+    int64_t m = (int64_t)toks.size();
+    if (m > cap) m = cap;
+    std::memcpy(out, toks.data(), (size_t)m * 4);
+    return (int64_t)toks.size();
+}
+
+}  // extern "C"

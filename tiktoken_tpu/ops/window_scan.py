@@ -302,6 +302,8 @@ def make_seq_scan_fn(KL: int, K: int, n_classes: int, eof_cls: int):
             it = st[-2]
             return (~st[-1].all()) & (it < 3 * (KL + 2))
 
+        row_k = rows_i * K
+
         def substep(p, s, mstart, lend, mask, bad, done, n_payload, n_total):
             cls = cls_flat[row_base + jnp.minimum(p, KL)]
             v = flat_t[s * n_classes + cls]
@@ -313,12 +315,11 @@ def make_seq_scan_fn(KL: int, K: int, n_classes: int, eof_cls: int):
             died = (s2 == DEAD) | consumed_eof
 
             # death: resolve the in-flight match at its last accept end
+            # (1-D scatter: 2-D index scatters lower much slower)
             no_progress = died & (lend2 <= mstart)
             new_start = jnp.where(died, lend2, mstart)
-            mask = mask.at[
-                rows_i,
-                jnp.where(done | ~died, 0, jnp.minimum(jnp.maximum(mstart, 0), K - 1)),
-            ].max(died & ~done & (mstart < n_payload))
+            col = jnp.where(done | ~died, 0, jnp.minimum(jnp.maximum(mstart, 0), K - 1))
+            mask = mask.at[row_k + col].max(died & ~done & (mstart < n_payload))
             finished = new_start >= n_payload
             p2 = jnp.where(died, lend2, p + 1)
             s3 = jnp.where(died, START, s2)
@@ -344,7 +345,7 @@ def make_seq_scan_fn(KL: int, K: int, n_classes: int, eof_cls: int):
         s0 = jnp.full((B,), START, jnp.int32)
         ms0 = jnp.zeros((B,), jnp.int32)
         le0 = jnp.full((B,), -1, jnp.int32)
-        mask0 = jnp.zeros((B, K), bool)
+        mask0 = jnp.zeros((B * K,), bool)
         bad0 = jnp.zeros((B,), bool)
         done0 = n_payload <= 0
         # first piece start (position 0) is marked by the first death's
@@ -355,7 +356,7 @@ def make_seq_scan_fn(KL: int, K: int, n_classes: int, eof_cls: int):
         mask, bad, done = st[4], st[5], st[7]
         # safety-bound exhaustion (cannot happen on valid input): flag rows
         bad = bad | ~done
-        return mask, bad
+        return mask.reshape(B, K), bad
 
     return scan
 
