@@ -115,3 +115,33 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_stream_encoder_checkpoint_resume(tmp_path, enc):
+    from tiktoken_tpu.parallel.stream import StreamEncoder
+
+    docs = [make_mixed_corpus(400, seed=s) for s in range(10)]
+    se = StreamEncoder(enc, str(tmp_path), shard_docs=3)
+    totals = se.encode_corpus(docs, strategy="host")
+    assert totals["shards"] == 4 and totals["resumed"] == 0
+    want_tokens = sum(len(enc.encode_ordinary(d)) for d in docs)
+    assert totals["tokens"] == want_tokens
+
+    # resume: a fresh encoder over the same dir skips all completed shards
+    se2 = StreamEncoder(enc, str(tmp_path), shard_docs=3)
+    totals2 = se2.encode_corpus(docs, strategy="host")
+    assert totals2["resumed"] == 4
+    assert totals2["tokens"] == want_tokens
+
+    # shard contents round-trip per document
+    flat, offs = se2.read_shard(1)
+    for j, d in enumerate(docs[3:6]):
+        assert flat[offs[j]:offs[j+1]].tolist() == enc.encode_ordinary(d)
+
+    # partial manifest (simulated crash): only the surviving shard resumes
+    import os
+    os.remove(str(tmp_path / "shard_000002.npy"))
+    se3 = StreamEncoder(enc, str(tmp_path), shard_docs=3)
+    totals3 = se3.encode_corpus(docs, strategy="host")
+    assert totals3["resumed"] == 3
+    assert totals3["tokens"] == want_tokens

@@ -219,22 +219,70 @@ class Encoding:
         *,
         device: bool = True,
         row_capacity: int | None = None,
+        strategy: str = "hybrid",
     ) -> list[list[int]]:
-        """Encodes a large batch of documents on the TPU device pipeline.
+        """Encodes a large batch of documents at maximum node throughput.
 
-        This is the throughput path: documents are packed into fixed-size
-        byte blocks, pre-tokenized by the compiled scanner and merged by the
-        parallel rank-merge kernel, all under ``jax.jit``. Results are
-        byte-exact with ``encode_ordinary``. Falls back to the host engine
-        when ``device=False`` or no accelerator is usable.
+        ``strategy``:
+          - "hybrid" (default): device pipeline and the native host core
+            pull documents from a shared queue concurrently — the host
+            worker's ctypes call releases the GIL, so CPU and TPU overlap
+            and the split self-balances to each engine's actual speed.
+          - "device": everything through the TPU pipeline.
+          - "host": everything through the host engine.
+
+        All strategies are byte-exact with ``encode_ordinary``.
         """
-        if not device:
+        if not device or strategy == "host":
             return [self.encode_ordinary(t if isinstance(t, str) else t.decode("utf-8"))
                     for t in texts]
         kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
-        return self.device_engine.encode_corpus(
-            texts, host_fallback=self._core_bpe, **kwargs
-        )
+        if strategy == "device" or self._core_bpe._native_core() is None or (
+            self._core_bpe._native_core() is False
+        ):
+            return self.device_engine.encode_corpus(
+                texts, host_fallback=self._core_bpe, **kwargs
+            )
+
+        # hybrid: shared work queue, one device worker + one host worker
+        import queue
+        import threading
+
+        texts = list(texts)
+        out: list = [None] * len(texts)
+        q: queue.Queue = queue.Queue()
+        for i, t in enumerate(texts):
+            q.put(i)
+        native = self._core_bpe._native_core()
+
+        def host_worker():
+            while True:
+                try:
+                    i = q.get_nowait()
+                except queue.Empty:
+                    return
+                t = texts[i]
+                out[i] = self.encode_ordinary(
+                    t if isinstance(t, str) else t.decode("utf-8")
+                )
+
+        def device_worker():
+            # one doc at a time, and leave the queue's tail to the host
+            # worker (a slow device grab at the end would gate completion)
+            while q.qsize() >= 3:
+                try:
+                    i = q.get_nowait()
+                except queue.Empty:
+                    return
+                got = self.device_engine.encode_corpus(
+                    [texts[i]], host_fallback=self._core_bpe, **kwargs,
+                )
+                out[i] = got[0]
+
+        th = threading.Thread(target=host_worker)
+        td = threading.Thread(target=device_worker)
+        th.start(); td.start(); th.join(); td.join()
+        return out
 
     def encode_with_unstable(
         self,

@@ -9,12 +9,14 @@ psum-reduced counters.
 
 from tiktoken_tpu.parallel.mesh import DATA_AXIS, batch_sharded, data_mesh, replicated
 from tiktoken_tpu.parallel.encode import CorpusStats, ShardedEngine
+from tiktoken_tpu.parallel.stream import StreamEncoder
 from tiktoken_tpu.parallel.train import corpus_pair_counts, make_pair_count_step
 
 __all__ = [
     "DATA_AXIS",
     "CorpusStats",
     "ShardedEngine",
+    "StreamEncoder",
     "batch_sharded",
     "corpus_pair_counts",
     "data_mesh",
