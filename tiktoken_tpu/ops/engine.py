@@ -89,13 +89,44 @@ class PackedBatch:
     row_capacity: int  # K
 
 
+def _doc_row_bounds(n: int, splits: np.ndarray, K: int) -> tuple[np.ndarray, bool]:
+    """Greedy row boundaries for one document: each cut is the last safe
+    split within K bytes of the previous cut. The greedy jump function is
+    precomputed over all splits with one vectorized searchsorted, so the
+    walk itself is O(1) per row. Stretches with no safe split within K
+    bytes are force-cut at pos+K (hard cut -> whole-doc host fallback)."""
+    if n <= K:
+        return np.asarray([0, n], dtype=np.int64), False
+    # jump[i] = index of the last split <= splits[i] + K
+    jump = np.searchsorted(splits, splits + K, side="right") - 1 if len(splits) else None
+    bounds = [0]
+    hard = False
+    pos = 0
+    # index of the last split <= pos + K, maintained incrementally
+    i = int(np.searchsorted(splits, K, side="right")) - 1
+    while n - pos > K:
+        if i >= 0 and splits[i] > pos:
+            end = int(splits[i])
+            i = int(jump[i])
+        else:
+            end = pos + K  # no safe split in range: hard cut
+            hard = True
+            i = int(np.searchsorted(splits, end + K, side="right")) - 1
+        bounds.append(end)
+        pos = end
+    bounds.append(n)
+    return np.asarray(bounds, dtype=np.int64), hard
+
+
 def pack_documents(docs: Sequence[bytes], row_capacity: int = DEFAULT_ROW) -> PackedBatch:
-    """Slice documents into independent rows at safe split points."""
+    """Slice documents into independent rows at safe split points
+    (fully vectorized: per document one split scan, one boundary
+    computation, one strided gather into the row matrix)."""
     K = row_capacity
-    rows: list[np.ndarray] = []
-    n_payload: list[int] = []
-    n_total: list[int] = []
-    doc_idx: list[int] = []
+    all_rows: list[np.ndarray] = []
+    all_payload: list[np.ndarray] = []
+    all_total: list[np.ndarray] = []
+    all_doc: list[np.ndarray] = []
     hard_cut: set[int] = set()
 
     for d_i, doc in enumerate(docs):
@@ -104,31 +135,24 @@ def pack_documents(docs: Sequence[bytes], row_capacity: int = DEFAULT_ROW) -> Pa
         if n == 0:
             continue
         splits = _find_safe_splits(data)
-        pos = 0
-        while pos < n:
-            if n - pos <= K:
-                end = n
-            else:
-                lo = np.searchsorted(splits, pos + 1)
-                hi = np.searchsorted(splits, pos + K, side="right")
-                usable = splits[lo:hi]
-                if len(usable):
-                    end = int(usable[-1])
-                else:
-                    end = pos + K  # hard cut: not independently tokenizable
-                    hard_cut.add(d_i)
-            payload = data[pos:end]
-            look = data[end : end + LOOK]
-            row = np.zeros(K + LOOK, dtype=np.uint8)
-            row[: len(payload)] = payload
-            row[len(payload) : len(payload) + len(look)] = look
-            rows.append(row)
-            n_payload.append(len(payload))
-            n_total.append(len(payload) + len(look))
-            doc_idx.append(d_i)
-            pos = end
+        bounds, hard = _doc_row_bounds(n, splits, K)
+        if hard:
+            hard_cut.add(d_i)
+        starts = bounds[:-1]
+        ends = bounds[1:]
+        payload = (ends - starts).astype(np.int32)
+        total = np.minimum(ends + LOOK, n) - starts
+        padded = np.concatenate([data, np.zeros(K + LOOK, np.uint8)])
+        rows = padded[starts[:, None] + np.arange(K + LOOK, dtype=np.int64)[None, :]]
+        # bytes beyond n_total need no zeroing: the class grid overrides
+        # them with EOF and extraction masks by piece length; in-doc
+        # neighbour bytes there are never read as payload
+        all_rows.append(rows)
+        all_payload.append(payload)
+        all_total.append(total.astype(np.int32))
+        all_doc.append(np.full(len(starts), d_i, dtype=np.int32))
 
-    if not rows:
+    if not all_rows:
         return PackedBatch(
             rows=np.zeros((0, K + LOOK), dtype=np.uint8),
             n_payload=np.zeros(0, dtype=np.int32),
@@ -138,10 +162,10 @@ def pack_documents(docs: Sequence[bytes], row_capacity: int = DEFAULT_ROW) -> Pa
             row_capacity=K,
         )
     return PackedBatch(
-        rows=np.stack(rows),
-        n_payload=np.asarray(n_payload, dtype=np.int32),
-        n_total=np.asarray(n_total, dtype=np.int32),
-        doc_index=np.asarray(doc_idx, dtype=np.int32),
+        rows=np.concatenate(all_rows),
+        n_payload=np.concatenate(all_payload),
+        n_total=np.concatenate(all_total),
+        doc_index=np.concatenate(all_doc),
         hard_cut_docs=frozenset(hard_cut),
         row_capacity=K,
     )
