@@ -69,6 +69,11 @@ def load_library():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.ttpu_decode.restype = ctypes.c_int64
+        lib.ttpu_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -140,3 +145,21 @@ class NativeCore:
         out = np.empty(cap, dtype=np.uint32)
         n = self._lib.ttpu_encode_piece(self._h, piece, len(piece), out.ctypes.data, cap)
         return out[:n].tolist()
+
+    def decode_bytes(self, tokens) -> bytes:
+        """Concatenated token bytes; raises KeyError on non-ordinary ids
+        (the caller resolves special tokens first)."""
+        ids = np.ascontiguousarray(tokens, dtype=np.uint32)
+        n = len(ids)
+        if n == 0:
+            return b""
+        cap = int(n) * 16
+        buf = ctypes.create_string_buffer(cap)
+        r = self._lib.ttpu_decode(self._h, ids.ctypes.data, n, buf, cap)
+        if r > cap:
+            cap = int(r)
+            buf = ctypes.create_string_buffer(cap)
+            r = self._lib.ttpu_decode(self._h, ids.ctypes.data, n, buf, cap)
+        if r < 0:
+            raise KeyError(int(ids[-1 - r]))
+        return buf.raw[:r]

@@ -34,6 +34,9 @@ struct Core {
 
     // vocabulary
     std::unordered_map<std::string, uint32_t> ranks; // token bytes -> rank
+    std::string decoder_blob;                        // all token bytes
+    std::vector<int64_t> decoder_off;                // [max_rank+1], -1 gaps
+    std::vector<int32_t> decoder_len;                // [max_rank+1]
 };
 
 // Greedy BPE over one piece; returns token ids. Semantics identical to
@@ -200,11 +203,25 @@ void* ttpu_new(const int32_t* packed, int n_states, int n_classes,
     c->class_of.assign(class_of, class_of + 257);
     c->n_classes = n_classes;
     c->ranks.reserve((size_t)n_tokens * 2);
+    uint32_t max_rank = 0;
     for (int64_t t = 0; t < n_tokens; ++t) {
         c->ranks.emplace(
             std::string((const char*)token_blob + token_offsets[t],
                         (size_t)(token_offsets[t + 1] - token_offsets[t])),
             token_ranks[t]);
+        if (token_ranks[t] > max_rank) max_rank = token_ranks[t];
+    }
+    // decoder: token bytes by rank (gaps marked -1)
+    if (n_tokens > 0) {
+        c->decoder_blob.assign((const char*)token_blob,
+                               (size_t)token_offsets[n_tokens]);
+        c->decoder_off.assign((size_t)max_rank + 1, -1);
+        c->decoder_len.assign((size_t)max_rank + 1, 0);
+        for (int64_t t = 0; t < n_tokens; ++t) {
+            c->decoder_off[token_ranks[t]] = token_offsets[t];
+            c->decoder_len[token_ranks[t]] =
+                (int32_t)(token_offsets[t + 1] - token_offsets[t]);
+        }
     }
     return c;
 }
@@ -241,6 +258,30 @@ int64_t ttpu_encode_piece(void* h, const char* data, int64_t n,
     if (m > cap) m = cap;
     std::memcpy(out, toks.data(), (size_t)m * 4);
     return (int64_t)toks.size();
+}
+
+// Decode token ids to bytes. Returns the byte count written, the required
+// size if cap is too small (call again with a bigger buffer), or -1-i when
+// tokens[i] is not an ordinary token (special/unknown: the caller handles
+// those exactly, reference: src/lib.rs:342-358).
+int64_t ttpu_decode(void* h, const uint32_t* tokens, int64_t n,
+                    char* out, int64_t cap) {
+    Core* c = (Core*)h;
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t t = tokens[i];
+        if (t >= c->decoder_off.size() || c->decoder_off[t] < 0) return -1 - i;
+        total += c->decoder_len[t];
+    }
+    if (total > cap) return total;
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t t = tokens[i];
+        std::memcpy(p, c->decoder_blob.data() + c->decoder_off[t],
+                    (size_t)c->decoder_len[t]);
+        p += c->decoder_len[t];
+    }
+    return total;
 }
 
 }  // extern "C"

@@ -21,6 +21,9 @@ from tiktoken_tpu.parallel.mesh import DATA_AXIS, batch_sharded, replicated
 _TABLE_NAMES = (
     "packed", "class_of", "buckets", "byte_to_rank"
 )
+_TABLE_NAMES2 = (
+    "packed", "class_of", "buckets", "byte_to_rank", "vocab"
+)
 
 
 @dataclass
@@ -61,11 +64,14 @@ class ShardedEngine:
             import jax
 
             rep = replicated(self.mesh, self.axis)
-            host = self.engine._tables()
+            host = self.engine._tables2()
             self._sharded_tables = {
-                k: jax.device_put(np.asarray(host[k]), rep) for k in _TABLE_NAMES
+                k: jax.device_put(np.asarray(host[k]), rep) for k in _TABLE_NAMES2
             }
         return self._sharded_tables
+
+    def _tables2(self):
+        return self._tables()
 
     def _program(self, KL: int):
         fn = self._jitted.get(KL)
@@ -114,6 +120,116 @@ class ShardedEngine:
         fn = jax.jit(sharded)
         self._jitted[KL] = fn
         return fn
+
+    def _program2(self, C: int, KL: int):
+        """Sharded v2 piece-slot pipeline: each chip tokenizes its row
+        shard into a private flat token stream + header; streams stay
+        sharded (one [t_cap] segment per chip), psum only for counters."""
+        key = ("v2", C, KL)
+        fn = self._jitted.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        pipeline = self.engine.pipeline2_fn(C, KL)
+        axis = self.axis
+        rep = P()
+        row2 = P(axis, None)
+        row1 = P(axis)
+
+        def per_shard(
+            packed_trans, class_of, buckets, byte_to_rank, vocab,
+            rows, n_payload, n_total,
+        ):
+            flat, header = pipeline(
+                packed_trans, class_of, buckets, byte_to_rank, vocab,
+                rows, n_payload, n_total,
+            )
+            local = jnp.stack(
+                [jnp.sum(n_payload.astype(jnp.int32)), header[-2]]
+            )
+            totals = jax.lax.psum(local, axis)
+            return flat, header, totals
+
+        sharded = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(rep,) * 5 + (row2, row1, row1),
+            out_specs=(row1, row1, rep),
+            check_vma=False,
+        )
+        fn = jax.jit(sharded)
+        self._jitted[key] = fn
+        return fn
+
+    def encode_rows_tokens(self, batch: PackedBatch, chunk_rows: int = 1024):
+        """v2 sharded path: (row_tokens list, row_bad, CorpusStats-lite).
+
+        Rows are dispatched in mesh-size x chunk_rows groups; each chip's
+        flat stream is fetched and split per row on the host. Chunks that
+        overflow a cap rerun through the engine's single-device v2 path
+        (which itself falls back to v1 as needed)."""
+        n_dev = self.n_devices
+        B, KL = batch.rows.shape
+        if B == 0:
+            return [], np.zeros(0, bool)
+        import jax
+
+        tables = self._tables2()
+        group = chunk_rows * n_dev
+        fn = self._program2(chunk_rows, KL)
+        shard2 = batch_sharded(self.mesh, self.axis, rank=2)
+        shard1 = batch_sharded(self.mesh, self.axis, rank=1)
+
+        row_tokens: list[np.ndarray] = []
+        row_bad_all: list[np.ndarray] = []
+        for lo in range(0, B, group):
+            rows = batch.rows[lo : lo + group]
+            n_payload = batch.n_payload[lo : lo + group]
+            n_total = batch.n_total[lo : lo + group]
+            n = rows.shape[0]
+            if n < group:
+                rows = np.concatenate([rows, np.zeros((group - n, KL), np.uint8)])
+                n_payload = np.concatenate([n_payload, np.zeros(group - n, np.int32)])
+                n_total = np.concatenate([n_total, np.zeros(group - n, np.int32)])
+            flat, header, _totals = fn(
+                *(tables[k] for k in _TABLE_NAMES2),
+                jax.device_put(rows, shard2),
+                jax.device_put(n_payload, shard1),
+                jax.device_put(n_total, shard1),
+            )
+            flat = np.asarray(flat)
+            header = np.asarray(header)
+            t_cap = flat.shape[0] // n_dev
+            hlen = header.shape[0] // n_dev
+            for d in range(n_dev):
+                hdr = header[d * hlen : (d + 1) * hlen]
+                nrows = min(chunk_rows, max(0, n - d * chunk_rows))
+                if nrows <= 0:
+                    break
+                if hdr[-1]:  # overflow: single-device v2/v1 fallback
+                    sub = PackedBatch(
+                        rows=batch.rows[lo + d * chunk_rows : lo + d * chunk_rows + nrows],
+                        n_payload=batch.n_payload[lo + d * chunk_rows : lo + d * chunk_rows + nrows],
+                        n_total=batch.n_total[lo + d * chunk_rows : lo + d * chunk_rows + nrows],
+                        doc_index=batch.doc_index[lo + d * chunk_rows : lo + d * chunk_rows + nrows],
+                        hard_cut_docs=frozenset(),
+                        row_capacity=batch.row_capacity,
+                    )
+                    toks, bad = self.engine.encode_rows_tokens(sub)
+                    row_tokens.extend(toks)
+                    row_bad_all.append(bad)
+                    continue
+                counts = hdr[:nrows]
+                offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+                seg = flat[d * t_cap : (d + 1) * t_cap]
+                for r in range(nrows):
+                    row_tokens.append(seg[offs[r] : offs[r + 1]].astype(np.uint32))
+                row_bad_all.append(hdr[chunk_rows : chunk_rows + nrows].astype(bool))
+        self.stats["rows"] += B
+        return row_tokens, np.concatenate(row_bad_all)
 
     # -- public ---------------------------------------------------------
 
@@ -190,15 +306,15 @@ class ShardedEngine:
         out: list[list[int]] = [[] for _ in docs]
         if batch.rows.shape[0] == 0:
             return out
-        packed, counts, row_bad, _stats = self.encode_rows(batch)
+        row_tokens, row_bad = self.encode_rows_tokens(batch)
         fallback_docs = set(batch.hard_cut_docs)
         for row in np.nonzero(row_bad)[0]:
             fallback_docs.add(int(batch.doc_index[row]))
-        for row in range(packed.shape[0]):
+        for row, toks in enumerate(row_tokens):
             d = int(batch.doc_index[row])
             if d < 0 or d in fallback_docs:
                 continue
-            out[d].extend(packed[row, : counts[row]].tolist())
+            out[d].extend(toks.tolist())
         if fallback_docs:
             self.stats["fallback_docs"] += len(fallback_docs)
             if host_fallback is None:
