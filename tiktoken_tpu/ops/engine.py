@@ -338,7 +338,17 @@ class DeviceEngine:
         if "vocab" not in t:
             import jax.numpy as jnp
 
+            from tiktoken_tpu.ops.window_scan import expand_packed_to_bytes
+
             t["vocab"] = jnp.asarray(self.vocab_table.buckets)
+            t["packed_bytes"] = jnp.asarray(
+                expand_packed_to_bytes(
+                    np.asarray(
+                        pack_trans_accept(self.dfa.trans, self.dfa.accept)
+                    ),
+                    self.dfa.class_of,
+                )
+            )
         return t
 
     # -- public -----------------------------------------------------------
@@ -384,7 +394,7 @@ class DeviceEngine:
                 n_payload = np.concatenate([n_payload, np.zeros(C - n, np.int32)])
                 n_total = np.concatenate([n_total, np.zeros(C - n, np.int32)])
             flat, header = fn(
-                tables["packed"], tables["class_of"],
+                tables["packed_bytes"],
                 tables["buckets"], tables["byte_to_rank"], tables["vocab"],
                 rows, n_payload, n_total,
             )

@@ -56,7 +56,7 @@ def build_pipeline2_fn(
     chunk geometry.
 
     Signature:
-        (packed_trans, class_of, pair_buckets_arr, byte_to_rank,
+        (packed_bytes [S,257], pair_buckets_arr, byte_to_rank,
          vocab_buckets_arr, rows [B,KL] u8, n_payload [B] i32,
          n_total [B] i32)
         -> (flat_tokens [t_cap] u32,
@@ -74,7 +74,7 @@ def build_pipeline2_fn(
     l_cap = max(64, N // 512)
     t_cap = max(512, N // 2)
 
-    scan_fn = make_seq_scan_fn(KL, K, n_classes, eof_cls)
+    scan_fn = make_seq_scan_fn(KL, K, 257, 256)  # byte-indexed table
     catalog_fn = make_catalog_fn(B, K, p_cap)
     extract_fn = make_extract_fn(B, K, p_cap)
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
@@ -103,16 +103,17 @@ def build_pipeline2_fn(
         return jnp.where(cols64[None, :] < lens[:, None], byts, 0)
 
     def pipeline(
-        packed_trans, class_of, pair_rows, byte_to_rank, vocab_rows,
+        packed_bytes, pair_rows, byte_to_rank, vocab_rows,
         rows, n_payload, n_total,
     ):
+        # byte-or-EOF grid (pure vector op; the byte-indexed transition
+        # table makes the class lookup unnecessary)
         idx = jnp.arange(KL, dtype=jnp.int32)
-        cls = class_of[rows.astype(jnp.int32)]
-        cls = jnp.where(idx[None, :] >= n_total[:, None], eof_cls, cls)
+        cls = jnp.where(idx[None, :] >= n_total[:, None], 256, rows.astype(jnp.int32))
         cls_ext = jnp.concatenate(
-            [cls, jnp.full((B, 1), eof_cls, cls.dtype)], axis=1
+            [cls, jnp.full((B, 1), 256, cls.dtype)], axis=1
         )
-        piece_start, row_bad = scan_fn(packed_trans, cls_ext, n_payload, n_total)
+        piece_start, row_bad = scan_fn(packed_bytes, cls_ext, n_payload, n_total)
 
         starts, lens, n_pieces, _pid = catalog_fn(piece_start, n_payload)
         overflow = n_pieces > p_cap

@@ -277,11 +277,22 @@ def make_orbit_doubling_fn(K: int):
 # ---------------------------------------------------------------------------
 
 
+def expand_packed_to_bytes(packed: np.ndarray, class_of: np.ndarray) -> np.ndarray:
+    """[S, 257] byte-indexed transition table (column 256 = EOF): lets the
+    sequential scanner skip the per-step class gather — the byte value
+    indexes the table directly (one fewer random access per byte)."""
+    return np.ascontiguousarray(packed[:, class_of.astype(np.int64)])
+
+
 def make_seq_scan_fn(KL: int, K: int, n_classes: int, eof_cls: int):
     """jit-able: (packed [S,C] i32 (pack_trans_accept),
     classes_ext [B, KL+1] i32 (EOF at >= n_total and in column KL),
     n_payload [B] i32, n_total [B] i32)
-    -> (piece_start [B,K] bool, row_bad [B] bool)."""
+    -> (piece_start [B,K] bool, row_bad [B] bool).
+
+    ``n_classes`` may be 257 with a byte-indexed table from
+    :func:`expand_packed_to_bytes` and ``classes_ext`` = raw bytes with
+    256 injected at end-of-text."""
     import jax
     import jax.numpy as jnp
 

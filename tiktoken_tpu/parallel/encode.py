@@ -22,7 +22,7 @@ _TABLE_NAMES = (
     "packed", "class_of", "buckets", "byte_to_rank"
 )
 _TABLE_NAMES2 = (
-    "packed", "class_of", "buckets", "byte_to_rank", "vocab"
+    "packed_bytes", "buckets", "byte_to_rank", "vocab"
 )
 
 
@@ -65,8 +65,9 @@ class ShardedEngine:
 
             rep = replicated(self.mesh, self.axis)
             host = self.engine._tables2()
+            names = set(_TABLE_NAMES) | set(_TABLE_NAMES2)
             self._sharded_tables = {
-                k: jax.device_put(np.asarray(host[k]), rep) for k in _TABLE_NAMES2
+                k: jax.device_put(np.asarray(host[k]), rep) for k in names
             }
         return self._sharded_tables
 
@@ -140,11 +141,11 @@ class ShardedEngine:
         row1 = P(axis)
 
         def per_shard(
-            packed_trans, class_of, buckets, byte_to_rank, vocab,
+            packed_bytes, buckets, byte_to_rank, vocab,
             rows, n_payload, n_total,
         ):
             flat, header = pipeline(
-                packed_trans, class_of, buckets, byte_to_rank, vocab,
+                packed_bytes, buckets, byte_to_rank, vocab,
                 rows, n_payload, n_total,
             )
             local = jnp.stack(
@@ -156,7 +157,7 @@ class ShardedEngine:
         sharded = jax.shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(rep,) * 5 + (row2, row1, row1),
+            in_specs=(rep,) * 4 + (row2, row1, row1),
             out_specs=(row1, row1, rep),
             check_vma=False,
         )
