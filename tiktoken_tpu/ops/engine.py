@@ -364,22 +364,13 @@ class DeviceEngine:
             self._jitted2[("slice", size)] = fn
         return fn
 
-    def encode_rows_tokens(
-        self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS
-    ):
-        """v2 path: returns (row_tokens: list of uint32 arrays, one per
-        row, row_bad [B] bool). Chunks that overflow a static cap (rare,
-        degenerate piece statistics) transparently rerun through v1.
-
-        Exactly two device->host fetches per chunk (one header, one
-        pow2-sliced token stream), overlapped across chunks with a small
-        thread pool — the tunnel's per-fetch latency dominates otherwise
-        (HARDWARE.md)."""
+    def _dispatch_chunks(self, batch: PackedBatch, chunk_rows: int):
+        """Dispatch all chunks to the device, then fetch headers and
+        pow2-sliced token streams with a small thread pool (the tunnel's
+        per-fetch latency dominates otherwise; HARDWARE.md)."""
         from concurrent.futures import ThreadPoolExecutor
 
         B, KL = batch.rows.shape
-        if B == 0:
-            return [], np.zeros(0, bool)
         tables = self._tables2()
         C = min(chunk_rows, 1 << (B - 1).bit_length())
         fn = self._pipeline2(C, KL)
@@ -414,13 +405,42 @@ class DeviceEngine:
                 return np.asarray(self._flat_slicer(size)(flat))[:nt]
 
             flats = list(pool.map(fetch_flat, range(len(pending))))
+        return pending, headers, flats
+
+    def encode_rows_tokens(
+        self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS
+    ):
+        """v2 path: returns (row_tokens: list of uint32 arrays, one per
+        row, row_bad [B] bool). Chunks that overflow a static cap (rare,
+        degenerate piece statistics) transparently rerun through v1.
+
+        Exactly two device->host fetches per chunk (one header, one
+        pow2-sliced token stream), overlapped across chunks with a small
+        thread pool — the tunnel's per-fetch latency dominates otherwise
+        (HARDWARE.md)."""
+        B, KL = batch.rows.shape
+        if B == 0:
+            return [], np.zeros(0, bool)
+        pending, headers, flats = self._dispatch_chunks(batch, chunk_rows)
 
         row_tokens: list[np.ndarray] = []
         row_bad_all: list[np.ndarray] = []
-        for (flat, _hdr_dev, n, lo), hdr, flat_h in zip(pending, headers, flats):
+        for flat_h, counts, bad, _n, _lo in self._resolve_chunks(
+            batch, pending, headers, flats, chunk_rows
+        ):
+            offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            for r in range(len(counts)):
+                row_tokens.append(flat_h[offs[r] : offs[r + 1]])
+            row_bad_all.append(bad)
+        self.stats["rows"] += B
+        return row_tokens, np.concatenate(row_bad_all)
+
+    def _resolve_chunks(self, batch, pending, headers, flats, chunk_rows):
+        """Yield (flat_tokens, row_counts, row_bad, n, lo) per chunk, with
+        overflow chunks transparently rerun through v1."""
+        for (_flat, _hdr_dev, n, lo), hdr, flat_h in zip(pending, headers, flats):
             Ch = (len(hdr) - 2) // 2
-            overflow = bool(hdr[-1])
-            if overflow:
+            if bool(hdr[-1]):  # overflow
                 self.stats["v1_fallback_chunks"] += 1
                 sub = PackedBatch(
                     rows=batch.rows[lo : lo + n],
@@ -431,17 +451,11 @@ class DeviceEngine:
                     row_capacity=batch.row_capacity,
                 )
                 packed, counts, bad = self.encode_rows(sub, chunk_rows)
-                for r in range(n):
-                    row_tokens.append(packed[r, : counts[r]].astype(np.uint32))
-                row_bad_all.append(bad)
+                mask = np.arange(packed.shape[1])[None, :] < counts[:, None]
+                flat1 = packed[mask].astype(np.uint32)
+                yield flat1, counts.astype(np.int64), bad, n, lo
                 continue
-            counts = hdr[:n]
-            offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-            for r in range(n):
-                row_tokens.append(flat_h[offs[r] : offs[r + 1]])
-            row_bad_all.append(hdr[Ch : Ch + n].astype(bool))
-        self.stats["rows"] += B
-        return row_tokens, np.concatenate(row_bad_all)
+            yield flat_h, hdr[:n].astype(np.int64), hdr[Ch : Ch + n].astype(bool), n, lo
 
     def encode_rows(self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS):
         """Run the device pipeline. Returns (packed [B,K], counts [B],
@@ -489,21 +503,41 @@ class DeviceEngine:
         return packed, counts, row_bad
 
     def encode_corpus(self, texts, host_fallback=None, row_capacity: int = DEFAULT_ROW):
-        """Encode documents on device; byte-exact with encode_ordinary."""
+        """Encode documents on device; byte-exact with encode_ordinary.
+
+        Assembly is document-level (fragment slices per chunk, one
+        concatenate per document) — no per-row Python work."""
         docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
         batch = pack_documents(docs, row_capacity)
         out: list = [[] for _ in docs]
         if batch.rows.shape[0] == 0:
             return out
-        row_tokens, row_bad = self.encode_rows_tokens(batch)
+        pending, headers, flats = self._dispatch_chunks(batch, DEFAULT_CHUNK_ROWS)
+
+        frags: dict[int, list[np.ndarray]] = {}
         fallback_docs = set(batch.hard_cut_docs)
-        for row in np.nonzero(row_bad)[0]:
-            fallback_docs.add(int(batch.doc_index[row]))
-        for row, toks in enumerate(row_tokens):
-            d = int(batch.doc_index[row])
-            if d in fallback_docs:
+        for flat_h, counts, bad, n, lo in self._resolve_chunks(
+            batch, pending, headers, flats, DEFAULT_CHUNK_ROWS
+        ):
+            d = batch.doc_index[lo : lo + n]
+            if bad.any():
+                for doc in np.unique(d[bad]):
+                    fallback_docs.add(int(doc))
+            offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            # fragment boundaries: where the doc id changes within the chunk
+            changes = np.nonzero(np.diff(d))[0] + 1
+            fr_start = np.concatenate([[0], changes])
+            fr_end = np.concatenate([changes, [n]])
+            for a, b in zip(fr_start, fr_end):
+                doc = int(d[a])
+                frags.setdefault(doc, []).append(flat_h[offs[a] : offs[b]])
+        for doc, parts in frags.items():
+            if doc in fallback_docs:
                 continue
-            out[d].extend(toks.tolist())
+            out[doc] = (
+                parts[0] if len(parts) == 1 else np.concatenate(parts)
+            ).tolist()
+        self.stats["rows"] += batch.rows.shape[0]
         if fallback_docs:
             self.stats["fallback_docs"] += len(fallback_docs)
             if host_fallback is None:
