@@ -160,9 +160,10 @@ def main() -> None:
         f"pair table={engine.pair_table.n_pairs} pairs, "
         f"buckets={engine.pair_table.n_buckets}")
 
-    # warmup (compile)
+    # warmup (compile the device chunk shape + build the native core)
     log("warmup/compile...")
-    _ = enc.encode_corpus(docs[:2])
+    _ = enc.encode_corpus(docs[:2], strategy="device")
+    _ = enc.encode_corpus(docs[:1], strategy="host")
 
     log("timing device-only encode_corpus...")
     dsample = docs[: max(2, len(docs) // 8)]
