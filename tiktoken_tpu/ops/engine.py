@@ -1,28 +1,24 @@
-"""The TPU device engine: packed byte blocks -> token ids, end to end.
+"""The TPU device engine: packed byte rows -> token ids, end to end.
 
-Pipeline (all device work under one jit):
+Two compiled pipelines share this engine's tables:
 
-    bytes [B, K+LOOK] --class map + EOF injection--> classes
-        --window scan (ops/window_scan.py): exact match-end hop per
-          position, no sequential dependencies-->
-    hop [B, K] + unresolved flags
-        --pointer-doubling orbit--> piece-start mask [B, K]
-        --per-piece lockstep greedy merge (ops/merge.py)-->
-    token ids at surviving positions
-        --in-block compaction (cumsum + scatter)-->
-    packed tokens [B, K] + counts [B]
+- **v2, the default** (ops/pipeline2.py): sequential lockstep scanner ->
+  piece catalog -> 16-byte slot extraction -> whole-piece vocab hits ->
+  slot merge on misses -> flat token stream per chunk.
+- **v1, the fallback** (build_pipeline_fn below): window scan + orbit +
+  full-grid lockstep merge; byte-exact but slower, used for chunks whose
+  piece statistics overflow v2's static caps.
 
 Host side, the packer slices documents into rows at *safe split points* —
-positions guaranteed to start a piece in any context (a \\r or \\n
-followed by an ASCII letter; no shipped pattern's alternative can span
-newline->letter) — so rows tokenize independently. Each row carries LOOK
-bytes of true continuation so match ends near the row edge resolve
-exactly; document ends are EOF-injected in-band.
+positions provably piece starts in any context (newline->letter and
+printable-space-letter rules, differentially validated) — so rows
+tokenize independently. Each row carries LOOK bytes of true continuation
+so lookahead near the row edge resolves exactly; document ends are
+EOF-injected in-band.
 
-Rows the device cannot finish exactly fall back to the host oracle and
-are surfaced in stats: documents with no safe split within a row
-(hard cut), pieces longer than the scan window (unresolved on the
-boundary chain), and invalid UTF-8. Fallbacks are rare and never silent.
+Anything the device cannot finish exactly falls back to the host engines
+and is surfaced in stats: hard-cut documents, >64-byte pieces, cap
+overflows, invalid UTF-8. Fallbacks are never silent.
 """
 
 from __future__ import annotations
@@ -312,10 +308,6 @@ class DeviceEngine:
         return build_pipeline2_fn(
             row_total=row_total,
             look=LOOK,
-            window=self.window,
-            n_states=self.dfa.n_states,
-            n_classes=self.dfa.n_classes,
-            eof_cls=int(self.dfa.class_of[256]),
             pair_seed=self.pair_table.seed,
             pair_buckets=self.pair_table.n_buckets,
             vocab_seed=self.vocab_table.seed,

@@ -42,10 +42,6 @@ def build_pipeline2_fn(
     *,
     row_total: int,
     look: int,
-    window: int,
-    n_states: int,
-    n_classes: int,
-    eof_cls: int,
     pair_seed: int,
     pair_buckets: int,
     vocab_seed: int,
@@ -67,7 +63,6 @@ def build_pipeline2_fn(
 
     KL = row_total
     K = KL - look
-    W = window
     N = B * K
     p_cap = max(256, N // 2)
     m_cap = max(256, N // 16)
@@ -81,7 +76,6 @@ def build_pipeline2_fn(
     merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT)
     merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT)
 
-    cols16 = np.arange(SLOT, dtype=np.int32)
     cols64 = np.arange(LONG_SLOT, dtype=np.int32)
 
     def extract_long(rows, starts, lens):
