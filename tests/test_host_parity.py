@@ -94,8 +94,16 @@ def test_encode_with_specials_in_text(pat_name, text):
 def test_encode_with_unstable_matches_oracle(pat_name, text):
     enc = make_encoding(pat_name)
     oracle = make_oracle(pat_name)
+    # Texts containing a disallowed special token must raise in BOTH
+    # libraries (same policing as encode; found by the fuzz soak when
+    # hypothesis generated a literal "<|fim_prefix|>").
+    try:
+        theirs_stable, theirs_completions = oracle.encode_with_unstable(text)
+    except ValueError:
+        with pytest.raises(ValueError):
+            enc.encode_with_unstable(text)
+        return
     ours_stable, ours_completions = enc.encode_with_unstable(text)
-    theirs_stable, theirs_completions = oracle.encode_with_unstable(text)
     assert ours_stable == theirs_stable
     assert {tuple(c) for c in ours_completions} == {tuple(c) for c in theirs_completions}
 

@@ -15,7 +15,6 @@
 #include <cstring>
 #include <string>
 #include <string_view>
-#include <unordered_map>
 #include <vector>
 #include <queue>
 
@@ -26,6 +25,59 @@ constexpr int ACC_BITS = 5;
 constexpr int DEAD = 0;
 constexpr int START = 1;
 
+// Allocation-free token-bytes -> rank table: open addressing over
+// (ptr, len) keys pointing into the stable decoder blob; queries are
+// string_views into the caller's piece buffer (no std::string churn on
+// the hot path). Exact: hash match is always confirmed by memcmp.
+struct RankTable {
+    std::vector<const char*> key_ptr;
+    std::vector<uint32_t> key_len;  // 0 = empty slot (tokens are nonempty)
+    std::vector<uint32_t> vals;
+    size_t mask = 0;
+
+    static uint64_t hash(const char* p, size_t n) {
+        uint64_t h = 1469598103934665603ull;  // FNV-1a 64
+        for (size_t i = 0; i < n; ++i) {
+            h ^= (unsigned char)p[i];
+            h *= 1099511628211ull;
+        }
+        return h ^ (h >> 29);
+    }
+
+    void init(size_t n_keys) {
+        size_t size = 16;
+        while (size < n_keys * 2) size <<= 1;
+        key_ptr.assign(size, nullptr);
+        key_len.assign(size, 0);
+        vals.assign(size, RANK_MAX);
+        mask = size - 1;
+    }
+
+    void insert(const char* p, size_t n, uint32_t v) {
+        size_t i = hash(p, n) & mask;
+        while (key_len[i]) {
+            if (key_len[i] == n && std::memcmp(key_ptr[i], p, n) == 0) {
+                vals[i] = v;
+                return;
+            }
+            i = (i + 1) & mask;
+        }
+        key_ptr[i] = p;
+        key_len[i] = (uint32_t)n;
+        vals[i] = v;
+    }
+
+    inline uint32_t find(const char* p, size_t n) const {
+        size_t i = hash(p, n) & mask;
+        while (key_len[i]) {
+            if (key_len[i] == n && std::memcmp(key_ptr[i], p, n) == 0)
+                return vals[i];
+            i = (i + 1) & mask;
+        }
+        return RANK_MAX;
+    }
+};
+
 struct Core {
     // scanner tables
     std::vector<int32_t> packed;   // [n_states * n_classes]
@@ -33,10 +85,10 @@ struct Core {
     int n_classes = 0;
 
     // vocabulary
-    std::unordered_map<std::string, uint32_t> ranks; // token bytes -> rank
-    std::string decoder_blob;                        // all token bytes
-    std::vector<int64_t> decoder_off;                // [max_rank+1], -1 gaps
-    std::vector<int32_t> decoder_len;                // [max_rank+1]
+    RankTable ranks;                 // token bytes -> rank
+    std::string decoder_blob;        // all token bytes (key storage)
+    std::vector<int64_t> decoder_off;  // [max_rank+1], -1 gaps
+    std::vector<int32_t> decoder_len;  // [max_rank+1]
 };
 
 // Greedy BPE over one piece; returns token ids. Semantics identical to
@@ -45,8 +97,7 @@ struct Core {
 static void byte_pair_encode(const Core& c, const char* piece, size_t n,
                              std::vector<uint32_t>& out) {
     if (n == 1) {
-        auto it = c.ranks.find(std::string(piece, 1));
-        out.push_back(it->second);
+        out.push_back(c.ranks.find(piece, 1));
         return;
     }
     // boundary offsets 0..n; pair_rank[i] = rank of merging token at
@@ -54,8 +105,7 @@ static void byte_pair_encode(const Core& c, const char* piece, size_t n,
     std::vector<uint32_t> parts(n + 1);
     for (size_t i = 0; i <= n; ++i) parts[i] = (uint32_t)i;
     auto get_rank = [&](uint32_t lo, uint32_t hi) -> uint32_t {
-        auto it = c.ranks.find(std::string(piece + lo, hi - lo));
-        return it == c.ranks.end() ? RANK_MAX : it->second;
+        return c.ranks.find(piece + lo, hi - lo);
     };
     std::vector<uint32_t> pr(n + 1, RANK_MAX);
     for (size_t i = 0; i + 2 <= n; ++i) pr[i] = get_rank(i, (uint32_t)(i + 2));
@@ -83,8 +133,7 @@ static void byte_pair_encode(const Core& c, const char* piece, size_t n,
         }
     }
     for (size_t i = 0; i + 1 < nparts; ++i) {
-        auto it = c.ranks.find(std::string(piece + parts[i], parts[i + 1] - parts[i]));
-        out.push_back(it->second);
+        out.push_back(c.ranks.find(piece + parts[i], parts[i + 1] - parts[i]));
     }
 }
 
@@ -101,8 +150,7 @@ static void byte_pair_encode_large(const Core& c, const char* piece, size_t n,
     }
     auto get_rank = [&](uint32_t lo, uint32_t hi) -> uint32_t {
         if (hi > n) return RANK_MAX;
-        auto it = c.ranks.find(std::string(piece + lo, hi - lo));
-        return it == c.ranks.end() ? RANK_MAX : it->second;
+        return c.ranks.find(piece + lo, hi - lo);
     };
     using Ent = std::pair<uint32_t, uint32_t>;  // (rank, start boundary)
     std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
@@ -139,8 +187,7 @@ static void byte_pair_encode_large(const Core& c, const char* piece, size_t n,
     uint32_t i = 0;
     while (i < n) {
         uint32_t j = nxt[i];
-        auto it = c.ranks.find(std::string(piece + i, j - i));
-        out.push_back(it->second);
+        out.push_back(c.ranks.find(piece + i, j - i));
         i = j;
     }
 }
@@ -177,9 +224,9 @@ static int64_t encode_doc(const Core& c, const char* data, size_t n,
         size_t end = (size_t)last_end;
         last_piece_tokens_before = out.size();
         // whole-piece vocabulary hit short-circuits the merge
-        auto it = c.ranks.find(std::string(data + i, end - i));
-        if (it != c.ranks.end()) {
-            out.push_back(it->second);
+        uint32_t hit = c.ranks.find(data + i, end - i);
+        if (hit != RANK_MAX) {
+            out.push_back(hit);
         } else if (end - i >= 512) {
             byte_pair_encode_large(c, data + i, end - i, out);
         } else {
@@ -202,19 +249,20 @@ void* ttpu_new(const int32_t* packed, int n_states, int n_classes,
     c->packed.assign(packed, packed + (size_t)n_states * n_classes);
     c->class_of.assign(class_of, class_of + 257);
     c->n_classes = n_classes;
-    c->ranks.reserve((size_t)n_tokens * 2);
     uint32_t max_rank = 0;
-    for (int64_t t = 0; t < n_tokens; ++t) {
-        c->ranks.emplace(
-            std::string((const char*)token_blob + token_offsets[t],
-                        (size_t)(token_offsets[t + 1] - token_offsets[t])),
-            token_ranks[t]);
+    for (int64_t t = 0; t < n_tokens; ++t)
         if (token_ranks[t] > max_rank) max_rank = token_ranks[t];
-    }
-    // decoder: token bytes by rank (gaps marked -1)
+    // decoder blob doubles as the rank table's stable key storage
     if (n_tokens > 0) {
         c->decoder_blob.assign((const char*)token_blob,
                                (size_t)token_offsets[n_tokens]);
+        c->ranks.init((size_t)n_tokens);
+        for (int64_t t = 0; t < n_tokens; ++t) {
+            c->ranks.insert(
+                c->decoder_blob.data() + token_offsets[t],
+                (size_t)(token_offsets[t + 1] - token_offsets[t]),
+                token_ranks[t]);
+        }
         c->decoder_off.assign((size_t)max_rank + 1, -1);
         c->decoder_len.assign((size_t)max_rank + 1, 0);
         for (int64_t t = 0; t < n_tokens; ++t) {
@@ -250,8 +298,8 @@ int64_t ttpu_encode_piece(void* h, const char* data, int64_t n,
                           uint32_t* out, int64_t cap) {
     Core* c = (Core*)h;
     std::vector<uint32_t> toks;
-    auto it = c->ranks.find(std::string(data, (size_t)n));
-    if (it != c->ranks.end()) toks.push_back(it->second);
+    uint32_t hit = c->ranks.find(data, (size_t)n);
+    if (hit != RANK_MAX) toks.push_back(hit);
     else if ((size_t)n >= 512) byte_pair_encode_large(*c, data, (size_t)n, toks);
     else byte_pair_encode(*c, data, (size_t)n, toks);
     int64_t m = (int64_t)toks.size();
