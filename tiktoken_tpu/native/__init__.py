@@ -91,10 +91,17 @@ class NativeCore:
         from tiktoken_tpu.ops.window_scan import pack_trans_accept
 
         dfa = artifacts.cached_scanner_dfa(pat_str)
+        from tiktoken_tpu.ops.window_scan import expand_packed_to_bytes
+
+        # byte-expanded table [S, 257] with an identity class map: the C++
+        # scan loop indexes transitions by the raw byte (column 256 = EOF)
         packed = np.ascontiguousarray(
-            pack_trans_accept(dfa.trans, dfa.accept), dtype=np.int32
+            expand_packed_to_bytes(
+                pack_trans_accept(dfa.trans, dfa.accept), dfa.class_of
+            ),
+            dtype=np.int32,
         )
-        class_of = np.ascontiguousarray(dfa.class_of, dtype=np.uint16)
+        class_of = np.ascontiguousarray(np.arange(257), dtype=np.uint16)
 
         toks = sorted(mergeable_ranks.items(), key=lambda kv: kv[1])
         blob = b"".join(t for t, _ in toks)
@@ -106,7 +113,7 @@ class NativeCore:
         self._lib = lib
         self._keepalive = (packed, class_of, blob_arr, offs, rank_arr)
         self._h = lib.ttpu_new(
-            packed.ctypes.data, dfa.n_states, dfa.n_classes, class_of.ctypes.data,
+            packed.ctypes.data, dfa.n_states, 257, class_of.ctypes.data,
             blob_arr.ctypes.data if len(blob_arr) else None,
             offs.ctypes.data, rank_arr.ctypes.data, len(toks),
         )
