@@ -110,7 +110,9 @@ def build_pipeline2_fn(
         piece_start, row_bad = scan_fn(packed_bytes, cls_ext, n_payload, n_total)
 
         starts, lens, n_pieces, _pid = catalog_fn(piece_start, n_payload)
-        overflow = n_pieces > p_cap
+        # strictly below p_cap: slot p_cap-1 is the fill target for the
+        # miss/long compactions and must stay a padding piece
+        overflow = n_pieces > p_cap - 1
 
         # rows containing over-long pieces fall back to the host
         too_long = lens > LONG_SLOT
@@ -159,7 +161,9 @@ def build_pipeline2_fn(
 
         off = jnp.cumsum(counts) - counts  # exclusive prefix, piece order
         n_tokens = off[-1] + counts[-1]
-        overflow = overflow | m_overflow | l_overflow | (n_tokens > t_cap)
+        # strictly below t_cap: slot t_cap-1 is the masked-scatter dump
+        # target and must never hold a real token
+        overflow = overflow | m_overflow | l_overflow | (n_tokens > t_cap - 1)
 
         flat = jnp.zeros((t_cap,), jnp.uint32)
 
