@@ -174,7 +174,7 @@ def main() -> None:
     device_only_mbs = dbytes / ((t1 - t0) / 1e9) / 1e6
     log(f"device-only: {device_only_mbs:.2f} MB/s")
 
-    log("timing encode_corpus (hybrid device+native-host)...")
+    log("timing encode_corpus (auto scheduling)...")
     t0 = time.perf_counter_ns()
     device_tokens = enc.encode_corpus(docs)
     t1 = time.perf_counter_ns()
@@ -209,7 +209,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "o200k-pattern corpus encode, byte-exact (hybrid TPU+native host)",
+                "metric": "o200k-pattern corpus encode, byte-exact (auto engine scheduling)",
                 "value": round(device_mbs, 2),
                 "unit": "MB/s",
                 "vs_baseline": round(device_mbs / max(ref_mbs, 1e-9), 2),

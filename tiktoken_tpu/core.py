@@ -219,27 +219,40 @@ class Encoding:
         *,
         device: bool = True,
         row_capacity: int | None = None,
-        strategy: str = "hybrid",
+        strategy: str = "auto",
     ) -> list[list[int]]:
         """Encodes a large batch of documents at maximum node throughput.
 
         ``strategy``:
-          - "hybrid" (default): device pipeline and the native host core
-            pull documents from a shared queue concurrently — the host
-            worker's ctypes call releases the GIL, so CPU and TPU overlap
-            and the split self-balances to each engine's actual speed.
+          - "auto" (default): pick per node. Single-core hosts with the
+            native core run host-only (a device worker's Python
+            orchestration would steal more GIL time from the host engine
+            than the device contributes); multi-core hosts run hybrid;
+            hosts without a compiler run the device pipeline.
+          - "hybrid": device pipeline and the native host core pull
+            documents from a shared queue concurrently — the host worker's
+            ctypes call releases the GIL, so CPU and TPU overlap and the
+            split self-balances to each engine's actual speed.
           - "device": everything through the TPU pipeline.
           - "host": everything through the host engine.
 
         All strategies are byte-exact with ``encode_ordinary``.
         """
+        native = self._core_bpe._native_core()
+        if strategy == "auto":
+            import os as _os
+
+            if not native:
+                strategy = "device"
+            elif (_os.cpu_count() or 1) <= 1:
+                strategy = "host"
+            else:
+                strategy = "hybrid"
         if not device or strategy == "host":
             return [self.encode_ordinary(t if isinstance(t, str) else t.decode("utf-8"))
                     for t in texts]
         kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
-        if strategy == "device" or self._core_bpe._native_core() is None or (
-            self._core_bpe._native_core() is False
-        ):
+        if strategy == "device" or not native:
             return self.device_engine.encode_corpus(
                 texts, host_fallback=self._core_bpe, **kwargs
             )
@@ -253,8 +266,6 @@ class Encoding:
         q: queue.Queue = queue.Queue()
         for i, t in enumerate(texts):
             q.put(i)
-        native = self._core_bpe._native_core()
-
         def host_worker():
             while True:
                 try:
