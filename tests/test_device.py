@@ -32,7 +32,7 @@ def _corpus_docs():
 def test_encode_corpus_matches_host(pat_name):
     enc = make_encoding(pat_name)
     docs = _corpus_docs()
-    got = enc.encode_corpus(docs)
+    got = enc.encode_corpus(docs, strategy="device")
     want = [enc.encode_ordinary(d) for d in docs]
     for g, w, d in zip(got, want, docs):
         assert g == w, (pat_name, d[:50])
@@ -43,7 +43,7 @@ def test_encode_corpus_matches_reference(pat_name):
     enc = make_encoding(pat_name)
     oracle = make_oracle(pat_name)
     docs = [make_mixed_corpus(6_000, seed=31), "hello world, it's 42\nnew line"]
-    got = enc.encode_corpus(docs)
+    got = enc.encode_corpus(docs, strategy="device")
     want = oracle.encode_ordinary_batch(docs)
     assert got == want
 
@@ -57,7 +57,7 @@ def test_encode_corpus_fuzz(pat_name, text):
         text.encode("utf-8")
     except UnicodeEncodeError:
         return
-    got = enc.encode_corpus([text])
+    got = enc.encode_corpus([text], strategy="device")
     assert got == [enc.encode_ordinary(text)]
 
 

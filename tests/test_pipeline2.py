@@ -126,7 +126,7 @@ def test_v2_corpus_matches_reference(pat_name):
         "ab" * 30, "    indented\n\tcode();\n", "🌍🚀" * 10,
     ]
     before = enc.device_engine.stats["v1_fallback_chunks"]
-    got = enc.encode_corpus(docs)
+    got = enc.encode_corpus(docs, strategy="device")
     want = [oracle.encode_ordinary(d) for d in docs]
     for d, g, w in zip(docs, got, want):
         assert g == w, d[:60]
@@ -141,7 +141,7 @@ def test_v2_corpus_matches_reference(pat_name):
 def test_v2_fuzz(pat_name, text):
     enc = make_encoding(pat_name)
     oracle = make_oracle(pat_name)
-    got = enc.encode_corpus([text], row_capacity=128)
+    got = enc.encode_corpus([text], row_capacity=128, strategy="device")
     assert got == [oracle.encode_ordinary(text)]
 
 
@@ -150,5 +150,17 @@ def test_v2_long_pieces_fall_back_per_row():
     enc = make_encoding("o200k")
     oracle = make_oracle("o200k")
     doc = "x" * 500 + " normal words here\nand more"
-    got = enc.encode_corpus([doc], row_capacity=256)
+    got = enc.encode_corpus([doc], row_capacity=256, strategy="device")
     assert got == [oracle.encode_ordinary(doc)]
+
+
+@pytest.mark.parametrize("strategy", ["hybrid", "device", "host", "auto"])
+def test_encode_corpus_strategies_byte_exact(strategy):
+    """Every scheduling strategy must produce identical tokens (the hybrid
+    two-worker path is forced explicitly: 'auto' resolves to host-only on
+    single-core machines like CI)."""
+    enc = make_encoding("o200k")
+    oracle = make_oracle("o200k")
+    docs = [make_mixed_corpus(2500, seed=s) for s in range(6)] + ["", "x y"]
+    got = enc.encode_corpus(docs, strategy=strategy)
+    assert got == [oracle.encode_ordinary(d) for d in docs], strategy
