@@ -285,14 +285,26 @@ class Encoding:
                     i = q.get_nowait()
                 except queue.Empty:
                     return
-                got = self.device_engine.encode_corpus(
-                    [texts[i]], host_fallback=self._core_bpe, **kwargs,
-                )
-                out[i] = got[0]
+                try:
+                    got = self.device_engine.encode_corpus(
+                        [texts[i]], host_fallback=self._core_bpe, **kwargs,
+                    )
+                    out[i] = got[0]
+                except Exception:
+                    # leave out[i] None; the post-join sweep re-encodes it
+                    return
 
         th = threading.Thread(target=host_worker)
         td = threading.Thread(target=device_worker)
         th.start(); td.start(); th.join(); td.join()
+        # failure containment: anything a worker dropped is re-encoded on
+        # the host path (exact), so a device-side error never loses a doc
+        for i, toks in enumerate(out):
+            if toks is None:
+                t = texts[i]
+                out[i] = self.encode_ordinary(
+                    t if isinstance(t, str) else t.decode("utf-8")
+                )
         return out
 
     def encode_with_unstable(
