@@ -93,14 +93,18 @@ class NativeCore:
         dfa = artifacts.cached_scanner_dfa(pat_str)
         from tiktoken_tpu.ops.window_scan import expand_packed_to_bytes
 
-        # byte-expanded table [S, 257] with an identity class map: the C++
-        # scan loop indexes transitions by the raw byte (column 256 = EOF)
-        packed = np.ascontiguousarray(
-            expand_packed_to_bytes(
-                pack_trans_accept(dfa.trans, dfa.accept), dfa.class_of
-            ),
-            dtype=np.int32,
-        )
+        # byte-expanded table padded to a 512 stride with PRE-MULTIPLIED
+        # next-state bases: the C++ scan step is idx = base | byte, one
+        # load, no multiply (column 256 = EOF, 257..511 dead padding)
+        pb = expand_packed_to_bytes(
+            pack_trans_accept(dfa.trans, dfa.accept), dfa.class_of
+        ).astype(np.int64)
+        nxt = pb >> 5
+        acc = pb & 31
+        pb512 = np.zeros((dfa.n_states, 512), dtype=np.int64)
+        pb512[:, :257] = ((nxt * 512) << 5) | acc
+        assert pb512.max() < 2**31
+        packed = np.ascontiguousarray(pb512, dtype=np.int32)
         class_of = np.ascontiguousarray(np.arange(257), dtype=np.uint16)
 
         toks = sorted(mergeable_ranks.items(), key=lambda kv: kv[1])
@@ -113,7 +117,7 @@ class NativeCore:
         self._lib = lib
         self._keepalive = (packed, class_of, blob_arr, offs, rank_arr)
         self._h = lib.ttpu_new(
-            packed.ctypes.data, dfa.n_states, 257, class_of.ctypes.data,
+            packed.ctypes.data, dfa.n_states, 512, class_of.ctypes.data,
             blob_arr.ctypes.data if len(blob_arr) else None,
             offs.ctypes.data, rank_arr.ctypes.data, len(toks),
         )

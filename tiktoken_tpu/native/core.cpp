@@ -199,20 +199,21 @@ static int64_t encode_doc(const Core& c, const char* data, size_t n,
                           std::vector<uint32_t>& out) {
     size_t last_piece_tokens_before = 0;
     const int32_t* T = c.packed.data();
-    const uint16_t* CL = c.class_of.data();
-    const int C = c.n_classes;
     size_t i = 0;
+    // table entries are (next_state * 512) << ACC_BITS | (accept+1), so a
+    // step is one AND-OR index and one load: idx = base | byte
+    constexpr int32_t BASE_MASK = ~((1 << ACC_BITS) - 1);
     while (i < n) {
-        int s = START;
+        int32_t base = START * 512;
         long last_end = -1;
         size_t p = i;
         while (true) {
-            int cls = (p < n) ? CL[(unsigned char)data[p]] : CL[256];
-            int32_t v = T[s * C + cls];
-            s = v >> ACC_BITS;
+            unsigned b = (p < n) ? (unsigned char)data[p] : 256u;
+            int32_t v = T[(size_t)base | b];
+            base = (v >> ACC_BITS);
             int a = (v & ((1 << ACC_BITS) - 1)) - 1;
-            if (s != DEAD && a >= 0) last_end = (long)(p + 1) - a;
-            if (s == DEAD || p >= n) break;
+            if (base != 0 && a >= 0) last_end = (long)(p + 1) - a;
+            if (base == 0 || p >= n) break;
             ++p;
         }
         if (last_end <= (long)i) {
