@@ -41,7 +41,7 @@ from tiktoken_tpu.ops.window_scan import (
 
 LOOK = 16  # true continuation bytes per row
 DEFAULT_ROW = 256  # payload bytes per row (short rows: scan iterations ~ row length)
-DEFAULT_CHUNK_ROWS = 4096  # rows per device dispatch (one compiled shape)
+DEFAULT_CHUNK_ROWS = 8192  # rows per device dispatch (one compiled shape)
 
 
 def _find_safe_splits(data: np.ndarray) -> np.ndarray:
