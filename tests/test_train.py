@@ -123,3 +123,40 @@ def test_educational_module():
     assert enc.decode(tokens) == "hello world"
     assert enc.decode_bytes(tokens) == b"hello world"
     assert b"".join(enc.decode_tokens_bytes(tokens)) == b"hello world"
+
+
+def test_data_gym_matches_reference_converter(tmp_path, monkeypatch):
+    """The GPT-2 format converter must agree with the reference's converter
+    on the same synthetic vocab.bpe + encoder.json."""
+    import json
+
+    monkeypatch.setenv("TIKTOKEN_TPU_CACHE_DIR", "")
+    monkeypatch.setenv("TIKTOKEN_CACHE_DIR", "")
+
+    from tiktoken_tpu.load import _data_gym_byte_remap, data_gym_to_mergeable_bpe_ranks
+    import tiktoken.load as ref_load
+
+    remap = _data_gym_byte_remap()
+    byte_to_char = {v: k for k, v in remap.items()}
+    enc_str = lambda bs: "".join(byte_to_char[b] for b in bs)
+
+    merges = [(b"t", b"h"), (b"i", b"n"), (b"th", b"in"), (b"e", b"r"),
+              (b"thin", b"g"), (b"in", b"g")]
+    vocab_bpe = "#version: x\n" + "\n".join(
+        f"{enc_str(a)} {enc_str(b)}" for a, b in merges
+    ) + "\n"
+    (tmp_path / "vocab.bpe").write_text(vocab_bpe)
+    encoder = {enc_str(bytes([b])): i for i, b in enumerate(remap.values())}
+    n = 256
+    for a, b in merges:
+        encoder[enc_str(a + b)] = n
+        n += 1
+    (tmp_path / "encoder.json").write_text(json.dumps(encoder))
+
+    ours = data_gym_to_mergeable_bpe_ranks(
+        str(tmp_path / "vocab.bpe"), str(tmp_path / "encoder.json")
+    )
+    theirs = ref_load.data_gym_to_mergeable_bpe_ranks(
+        str(tmp_path / "vocab.bpe"), str(tmp_path / "encoder.json")
+    )
+    assert ours == theirs
