@@ -174,11 +174,13 @@ def main() -> None:
     device_only_mbs = dbytes / ((t1 - t0) / 1e9) / 1e6
     log(f"device-only: {device_only_mbs:.2f} MB/s")
 
-    log("timing encode_corpus (auto scheduling)...")
-    t0 = time.perf_counter_ns()
-    device_tokens = enc.encode_corpus(docs)
-    t1 = time.perf_counter_ns()
-    device_mbs = total_bytes / ((t1 - t0) / 1e9) / 1e6
+    log("timing encode_corpus (auto scheduling, best of 2)...")
+    device_mbs = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter_ns()
+        device_tokens = enc.encode_corpus(docs)
+        t1 = time.perf_counter_ns()
+        device_mbs = max(device_mbs, total_bytes / ((t1 - t0) / 1e9) / 1e6)
 
     # parity spot check vs the reference library on a sample
     import tiktoken
