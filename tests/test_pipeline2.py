@@ -164,3 +164,13 @@ def test_encode_corpus_strategies_byte_exact(strategy):
     docs = [make_mixed_corpus(2500, seed=s) for s in range(6)] + ["", "x y"]
     got = enc.encode_corpus(docs, strategy=strategy)
     assert got == [oracle.encode_ordinary(d) for d in docs], strategy
+
+
+def test_large_single_document_device():
+    """A multi-chunk single document: fragments reassemble in order across
+    chunk boundaries (doc-level assembly path)."""
+    enc = make_encoding("o200k")
+    oracle = make_oracle("o200k")
+    doc = make_mixed_corpus(1_500_000, seed=11)
+    got = enc.encode_corpus([doc], strategy="device")
+    assert got == [oracle.encode_ordinary(doc)]
