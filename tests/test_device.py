@@ -97,3 +97,42 @@ def test_packer_row_shapes():
         batch.rows[i, : batch.n_payload[i]].tobytes() for i in range(batch.rows.shape[0])
     )
     assert total == doc
+
+
+def test_special_token_text_is_ordinary_on_device():
+    """encode_corpus has encode_ordinary semantics: special-token TEXT in a
+    document is tokenized as plain text by the device pipeline too."""
+    enc = make_encoding("cl100k")
+    oracle = make_oracle("cl100k")
+    docs = [
+        "before <|endoftext|> after",
+        "<|endoftext|>" * 10,
+        "x<|im_start|>y<|fim_prefix|>z",
+    ]
+    got = enc.encode_corpus(docs, strategy="device")
+    assert got == [oracle.encode_ordinary(d) for d in docs]
+
+
+def test_pack_documents_reconstructs_payloads():
+    """Row payloads concatenate back to each document, for any length."""
+    import numpy as np
+
+    from tiktoken_tpu.ops.engine import pack_documents
+
+    rng = __import__("random").Random(3)
+    docs = []
+    for K in (64, 256):
+        for n in (0, 1, K - 1, K, K + 1, 2 * K, 5 * K + 7):
+            docs = [make_mixed_corpus(n, seed=n).encode()[:n] for n in
+                    (0, 1, K - 1, K, K + 1, 2 * K, 5 * K + 7)]
+            batch = pack_documents(docs, K)
+            rebuilt = {}
+            for r in range(batch.rows.shape[0]):
+                d = int(batch.doc_index[r])
+                rebuilt.setdefault(d, bytearray()).extend(
+                    batch.rows[r, : batch.n_payload[r]].tobytes()
+                )
+            for d, doc in enumerate(docs):
+                if len(doc):
+                    assert bytes(rebuilt[d]) == doc, (K, d)
+                assert all(batch.n_payload[batch.doc_index == d] <= K)
