@@ -246,6 +246,9 @@ class DeviceEngine:
         self.dfa = dfa
         self.pair_table = pair_table
         self.vocab_table = None  # set by build(); required for the v2 path
+        # device tokens are mergeable ranks (< n_vocab); 3-byte transfer
+        # packing applies whenever they fit 24 bits
+        self.pack24 = pair_table.n_vocab <= 0xFFFFFF
         self.name = name
         self.window = window
         self._jitted: dict[tuple[int, int], object] = {}
@@ -313,6 +316,7 @@ class DeviceEngine:
             vocab_seed=self.vocab_table.seed,
             vocab_buckets=self.vocab_table.n_buckets,
             B=B,
+            pack24=self.pack24,
         )
 
     def _pipeline2(self, B: int, KL: int):
@@ -393,6 +397,11 @@ class DeviceEngine:
                 nt = int(hdr[-2])
                 if hdr[-1] or nt == 0:  # overflow or empty
                     return np.zeros(0, np.uint32)
+                if self.pack24:
+                    words = (3 * nt + 3) // 4
+                    size = min(int(flat.shape[0]), 1 << max(0, (words - 1)).bit_length())
+                    raw = np.asarray(self._flat_slicer(size)(flat))
+                    return unpack_tokens24(raw, nt)
                 size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
                 return np.asarray(self._flat_slicer(size)(flat))[:nt]
 
@@ -539,6 +548,16 @@ class DeviceEngine:
             for d in fallback_docs:
                 out[d] = host_fallback.encode_ordinary(docs[d].decode("utf-8"))
         return out
+
+
+def unpack_tokens24(raw_u32: np.ndarray, n_tokens: int) -> np.ndarray:
+    """Inverse of the pipeline's 3-byte token packing."""
+    b = raw_u32.view(np.uint8)[: 3 * n_tokens]
+    return (
+        b[0::3].astype(np.uint32)
+        | (b[1::3].astype(np.uint32) << 8)
+        | (b[2::3].astype(np.uint32) << 16)
+    )
 
 
 def _pair_table_fingerprint(mergeable_ranks: dict[bytes, int]) -> bytes:

@@ -226,6 +226,12 @@ class ShardedEngine:
                 counts = hdr[:nrows]
                 offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
                 seg = flat[d * t_cap : (d + 1) * t_cap]
+                if self.engine.pack24:
+                    from tiktoken_tpu.ops.engine import unpack_tokens24
+
+                    seg = unpack_tokens24(
+                        np.ascontiguousarray(seg), int(hdr[-2])
+                    )
                 for r in range(nrows):
                     row_tokens.append(seg[offs[r] : offs[r + 1]].astype(np.uint32))
                 row_bad_all.append(hdr[chunk_rows : chunk_rows + nrows].astype(bool))
