@@ -182,8 +182,17 @@ class Encoding:
         """Encodes a list of strings into tokens, in parallel, ignoring
         special tokens.
 
-        Equivalent to ``encode_batch(text, disallowed_special=())``.
+        Equivalent to ``encode_batch(text, disallowed_special=())``. With
+        the native core the thread pool lives below the language boundary
+        (one C call); texts needing the surrogate fixup or environments
+        without a compiler use GIL-releasing Python threads instead.
         """
+        native = self._core_bpe._native_core()
+        if native:
+            try:
+                return native.encode_ordinary_batch(text, num_threads=num_threads)
+            except (UnicodeEncodeError, RuntimeError):
+                pass
         encoder = functools.partial(self.encode_ordinary)
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(encoder, text))

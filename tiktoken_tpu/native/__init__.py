@@ -48,7 +48,7 @@ def load_library():
         if not os.path.exists(so_path):
             tmp = so_path + f".{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", tmp],
                 check=True, capture_output=True, timeout=300,
             )
             os.replace(tmp, so_path)
@@ -73,6 +73,11 @@ def load_library():
         lib.ttpu_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ttpu_encode_batch.restype = ctypes.c_int64
+        lib.ttpu_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         _LIB = lib
     except Exception:
@@ -174,3 +179,32 @@ class NativeCore:
         if r < 0:
             raise KeyError(int(ids[-1 - r]))
         return buf.raw[:r]
+
+    def encode_ordinary_batch(self, texts, num_threads: int = 8):
+        """Natively threaded batch encode: one C call, the thread pool
+        lives below the language boundary (no Python thread overhead)."""
+        datas = [t.encode("utf-8") for t in texts]
+        n = len(datas)
+        if n == 0:
+            return []
+        doc_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(d) for d in datas], out=doc_offs[1:])
+        blob = b"".join(datas)
+        out_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(d) + 2 for d in datas], out=out_offs[1:])
+        out = np.empty(int(out_offs[-1]), dtype=np.uint32)
+        counts = np.zeros(n, dtype=np.int64)
+        rc = self._lib.ttpu_encode_batch(
+            self._h, blob, doc_offs.ctypes.data, n,
+            out.ctypes.data, out_offs.ctypes.data, counts.ctypes.data,
+            int(num_threads),
+        )
+        if rc != 0:
+            raise RuntimeError("native batch encode failed")
+        res = []
+        for d in range(n):
+            toks = out[out_offs[d] : out_offs[d] + counts[d]]
+            if len(toks) and toks.max() == 0xFFFFFFFF:
+                raise RuntimeError("native encode failed")
+            res.append(toks.tolist())
+        return res

@@ -11,10 +11,12 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <vector>
 #include <queue>
 
@@ -307,6 +309,44 @@ int64_t ttpu_encode_piece(void* h, const char* data, int64_t n,
     if (m > cap) m = cap;
     std::memcpy(out, toks.data(), (size_t)m * 4);
     return (int64_t)toks.size();
+}
+
+// Natively threaded batch encode (the reference's scaling story is
+// GIL-released threads, reference: tiktoken/core.py:164-206 + src/py.rs:31;
+// here the pool lives below the language boundary). Documents are
+// concatenated in `data` with `doc_offsets` [n_docs+1]; each document's
+// tokens are written at out + out_offsets[d] (caller sizes regions as
+// doc_len + 2). Returns 0; counts[d] receives each document's token count.
+int64_t ttpu_encode_batch(void* h, const char* data,
+                          const int64_t* doc_offsets, int64_t n_docs,
+                          uint32_t* out, const int64_t* out_offsets,
+                          int64_t* counts, int n_threads) {
+    Core* c = (Core*)h;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<uint32_t> toks;
+        for (;;) {
+            int64_t d = next.fetch_add(1);
+            if (d >= n_docs) return;
+            toks.clear();
+            const char* p = data + doc_offsets[d];
+            size_t n = (size_t)(doc_offsets[d + 1] - doc_offsets[d]);
+            encode_doc(*c, p, n, toks);
+            int64_t cap = out_offsets[d + 1] - out_offsets[d];
+            int64_t m = (int64_t)toks.size();
+            if (m > cap) m = cap;  // cannot happen: cap = n + 2
+            std::memcpy(out + out_offsets[d], toks.data(), (size_t)m * 4);
+            counts[d] = (int64_t)toks.size();
+        }
+    };
+    if (n_threads <= 1) {
+        worker();
+        return 0;
+    }
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+    return 0;
 }
 
 // Decode token ids to bytes. Returns the byte count written, the required
