@@ -130,6 +130,20 @@ def test_decode_errors_and_key_errors():
         enc.encode_single_token(b"definitely-not-a-token-xyzzy")
 
 
+def test_decode_many_specials_iterative():
+    # decode with thousands of interleaved specials must not recurse
+    # (reference decodes special-dense streams fine; regression for the
+    # advisor's RecursionError finding)
+    enc = make_encoding("cl100k")
+    eot = "<|endoftext|>"
+    text = f"hello {eot} " * 3000
+    tokens = enc.encode(text, allowed_special="all")
+    assert enc.decode(tokens) == text
+    # unknown id inside a special-bearing stream still raises KeyError
+    with pytest.raises(KeyError):
+        enc.decode_bytes(tokens[:50] + [10**9] + tokens[50:])
+
+
 def test_decode_batch():
     enc = make_encoding("cl100k")
     batches = [enc.encode_ordinary(t) for t in ["hello world", "it's 123", ""]]

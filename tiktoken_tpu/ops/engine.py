@@ -451,14 +451,18 @@ class DeviceEngine:
                     hard_cut_docs=frozenset(),
                     row_capacity=batch.row_capacity,
                 )
-                packed, counts, bad = self.encode_rows(sub, chunk_rows)
+                # rows already counted by the v2 caller; don't double-count
+                packed, counts, bad = self.encode_rows(
+                    sub, chunk_rows, _count_stats=False
+                )
                 mask = np.arange(packed.shape[1])[None, :] < counts[:, None]
                 flat1 = packed[mask].astype(np.uint32)
                 yield flat1, counts.astype(np.int64), bad, n, lo
                 continue
             yield flat_h, hdr[:n].astype(np.int64), hdr[Ch : Ch + n].astype(bool), n, lo
 
-    def encode_rows(self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS):
+    def encode_rows(self, batch: PackedBatch, chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                    *, _count_stats: bool = True):
         """Run the device pipeline. Returns (packed [B,K], counts [B],
         row_bad [B]) as numpy arrays.
 
@@ -500,7 +504,8 @@ class DeviceEngine:
         packed = np.concatenate([np.asarray(o[0])[:n] for o, n in outs])
         counts = np.concatenate([np.asarray(o[1])[:n] for o, n in outs])
         row_bad = np.concatenate([np.asarray(o[3])[:n] for o, n in outs])
-        self.stats["rows"] += B
+        if _count_stats:
+            self.stats["rows"] += B
         return packed, counts, row_bad
 
     def encode_corpus(self, texts, host_fallback=None, row_capacity: int = DEFAULT_ROW):

@@ -70,7 +70,9 @@ def build_pipeline2_fn(
     p_cap = max(256, N // 2)
     m_cap = max(256, N // 16)
     l_cap = max(64, N // 512)
-    t_cap = max(512, N // 2)
+    # multiple of 4 so the pack24 bitcast (3*t_cap bytes -> u32) is exact
+    # even for odd row_capacity values
+    t_cap = -(-max(512, N // 2) // 4) * 4
 
     scan_fn = make_seq_scan_fn(KL, K, 257, 256)  # byte-indexed table
     catalog_fn = make_catalog_fn(B, K, p_cap)
