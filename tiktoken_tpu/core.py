@@ -222,6 +222,23 @@ class Encoding:
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(encoder, text))
 
+    def _device_encode(self, texts, row_capacity=None):
+        """Route to the newest device pipeline: v3 (handshake rows,
+        ops/pipeline3) when char-level tables are enabled, else v2.
+        TIKTOKEN_TPU_PIPELINE=2 forces v2."""
+        import os
+
+        eng = self.device_engine
+        if (
+            eng.char_tables is not None
+            and os.environ.get("TIKTOKEN_TPU_PIPELINE", "3") != "2"
+        ):
+            return eng.encode_corpus3(
+                texts, host_fallback=self._core_bpe, K=row_capacity
+            )
+        kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
+        return eng.encode_corpus(texts, host_fallback=self._core_bpe, **kwargs)
+
     def encode_corpus(
         self,
         texts: Sequence[str] | Sequence[bytes],
@@ -262,9 +279,7 @@ class Encoding:
                     for t in texts]
         kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
         if strategy == "device" or not native:
-            return self.device_engine.encode_corpus(
-                texts, host_fallback=self._core_bpe, **kwargs
-            )
+            return self._device_encode(texts, row_capacity)
 
         # hybrid: shared work queue, one device worker + one host worker
         import queue
@@ -295,10 +310,7 @@ class Encoding:
                 except queue.Empty:
                     return
                 try:
-                    got = self.device_engine.encode_corpus(
-                        [texts[i]], host_fallback=self._core_bpe, **kwargs,
-                    )
-                    out[i] = got[0]
+                    out[i] = self._device_encode([texts[i]], row_capacity)[0]
                 except Exception:
                     # leave out[i] None; the post-join sweep re-encodes it
                     return

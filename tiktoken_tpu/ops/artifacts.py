@@ -91,3 +91,40 @@ def cached_scanner_dfa(pat_str: str):
         {"trans": dfa.trans, "accept": dfa.accept, "class_of": dfa.class_of},
     )
     return dfa
+
+
+def cached_char_class_tables(pat_str: str):
+    """Disk-cached char-level DFA + page-compressed class tables
+    (ops/charclass.build_char_class_tables over compile_pattern_chars)."""
+    from tiktoken_tpu.ops.charclass import CharClassTables
+    from tiktoken_tpu.ops.regex_compiler import compile_pattern_chars
+
+    key = artifact_key("char-class-tables", pat_str.encode())
+    arrays = load_arrays(key)
+    if arrays is not None:
+        meta = arrays["meta"]
+        return CharClassTables(
+            page_entry=arrays["page_entry"],
+            mixed_rows=arrays["mixed_rows"],
+            n_classes=int(meta[0]),
+            eof_class=int(meta[1]),
+            n_states=int(meta[2]),
+            trans=arrays["trans"],
+            accept=arrays["accept"],
+        )
+    from tiktoken_tpu.ops.charclass import build_char_class_tables
+
+    tables = build_char_class_tables(compile_pattern_chars(pat_str))
+    store_arrays(
+        key,
+        {
+            "page_entry": tables.page_entry,
+            "mixed_rows": tables.mixed_rows,
+            "trans": tables.trans,
+            "accept": tables.accept,
+            "meta": np.asarray(
+                [tables.n_classes, tables.eof_class, tables.n_states], np.int64
+            ),
+        },
+    )
+    return tables

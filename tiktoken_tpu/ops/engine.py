@@ -23,10 +23,17 @@ overflows, invalid UTF-8. Fallbacks are never silent.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Sequence
 
 import numpy as np
+
+# Persistent XLA compilation cache: the jitted pipelines are large and
+# compile slowly; caching makes every later process start warm. Set before
+# the first jax import; users can override or disable via the env.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tiktoken-tpu-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 from tiktoken_tpu.ops import artifacts
 from tiktoken_tpu.ops.merge import make_merge_fn
@@ -246,6 +253,9 @@ class DeviceEngine:
         self.dfa = dfa
         self.pair_table = pair_table
         self.vocab_table = None  # set by build(); required for the v2 path
+        # char-level class tables: when set (the default), the v2 boundary
+        # scan runs the gather-free select-sweep kernel (ops/sweep_scan)
+        self.char_tables = None
         # device tokens are mergeable ranks (< n_vocab); 3-byte transfer
         # packing applies whenever they fit 24 bits
         self.pack24 = pair_table.n_vocab <= 0xFFFFFF
@@ -263,6 +273,8 @@ class DeviceEngine:
         vt = _cached_vocab_table(mergeable_ranks)
         eng = DeviceEngine(dfa, pt, name)
         eng.vocab_table = vt
+        if os.environ.get("TIKTOKEN_TPU_SCANNER", "sweep") != "seq":
+            eng.char_tables = artifacts.cached_char_class_tables(pat_str)
         return eng
 
     # -- device plumbing ----------------------------------------------------
@@ -317,6 +329,7 @@ class DeviceEngine:
             vocab_buckets=self.vocab_table.n_buckets,
             B=B,
             pack24=self.pack24,
+            char_tables=self.char_tables,
         )
 
     def _pipeline2(self, B: int, KL: int):
@@ -337,14 +350,23 @@ class DeviceEngine:
             from tiktoken_tpu.ops.window_scan import expand_packed_to_bytes
 
             t["vocab"] = jnp.asarray(self.vocab_table.buckets)
-            t["packed_bytes"] = jnp.asarray(
-                expand_packed_to_bytes(
-                    np.asarray(
-                        pack_trans_accept(self.dfa.trans, self.dfa.accept)
-                    ),
-                    self.dfa.class_of,
+            if self.char_tables is not None:
+                from tiktoken_tpu.ops.charclass import prepare_device_tables
+
+                prep = prepare_device_tables(self.char_tables)
+                t["scan2"] = (
+                    jnp.asarray(prep["page_planes"]),
+                    jnp.asarray(prep["mixed_t"]),
                 )
-            )
+            else:
+                t["scan2"] = jnp.asarray(
+                    expand_packed_to_bytes(
+                        np.asarray(
+                            pack_trans_accept(self.dfa.trans, self.dfa.accept)
+                        ),
+                        self.dfa.class_of,
+                    )
+                )
         return t
 
     # -- public -----------------------------------------------------------
@@ -381,7 +403,7 @@ class DeviceEngine:
                 n_payload = np.concatenate([n_payload, np.zeros(C - n, np.int32)])
                 n_total = np.concatenate([n_total, np.zeros(C - n, np.int32)])
             flat, header = fn(
-                tables["packed_bytes"],
+                tables["scan2"],
                 tables["buckets"], tables["byte_to_rank"], tables["vocab"],
                 rows, n_payload, n_total,
             )
@@ -507,6 +529,182 @@ class DeviceEngine:
         if _count_stats:
             self.stats["rows"] += B
         return packed, counts, row_bad
+
+    # -- v3: handshake rows + monotone-routing pipeline ---------------------
+
+    def _pipeline3(self, C: int, K: int, worst_case: bool = False):
+        key = ("v3", C, K, worst_case)
+        fn = self._jitted2.get(key)
+        if fn is None:
+            import jax
+
+            from tiktoken_tpu.ops.pipeline3 import build_pipeline3_fn, row_geometry
+
+            KP, KL = row_geometry(K)
+            fn = jax.jit(
+                build_pipeline3_fn(
+                    K=K,
+                    C=C,
+                    flat_size=C * KP + KL + 8,
+                    char_tables=self.char_tables,
+                    pair_seed=self.pair_table.seed,
+                    pair_buckets=self.pair_table.n_buckets,
+                    vocab_seed=self.vocab_table.seed,
+                    vocab_buckets=self.vocab_table.n_buckets,
+                    pack24=self.pack24,
+                    worst_case=worst_case,
+                )
+            )
+            self._jitted2[key] = fn
+        return fn
+
+    def _dispatch_chunks3(self, pc, chunk_rows: int):
+        """Dispatch handshake chunks (slot 0 of each chunk is a ghost of
+        the previous chunk's last row — it re-provides its handoff
+        boundary and emits nothing). Returns (results, C) where results
+        is a list of (header, tokens) per chunk, fetched with a small
+        thread pool."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from tiktoken_tpu.ops.pipeline3 import row_geometry
+
+        B = pc.row_off.shape[0]
+        K = pc.K
+        KP, KL = row_geometry(K)
+        R = max(1, chunk_rows - 1)  # real rows per chunk
+        C = R + 1
+        S = C * KP + KL + 8
+        fn = self._pipeline3(C, K)
+        tables = self._tables2()
+
+        def chunk_inputs(lo):
+            hi = min(lo + R, B)
+            nreal = hi - lo
+            idx = np.arange(lo, hi)
+            ghost = lo - 1  # -1 = dummy for the first chunk
+
+            off = np.zeros(C, np.int32)
+            pay = np.zeros(C, np.int32)
+            tot = np.zeros(C, np.int32)
+            dend = np.zeros(C, bool)
+            prev = np.zeros(C, bool)
+            emit = np.zeros(C, bool)
+            rows_sel = np.concatenate([[ghost if ghost >= 0 else lo], idx])
+            off_abs = pc.row_off[rows_sel].astype(np.int64)
+            base = int(off_abs.min())
+            off[: nreal + 1] = (off_abs - base).astype(np.int32)
+            pay[1 : nreal + 1] = pc.n_payload[idx]
+            tot[1 : nreal + 1] = pc.n_total[idx]
+            dend[1 : nreal + 1] = pc.is_doc_end[idx]
+            prev[1 : nreal + 1] = pc.prev_same_doc[idx]
+            emit[1 : nreal + 1] = True
+            if ghost >= 0:
+                pay[0] = pc.n_payload[ghost]
+                tot[0] = pc.n_total[ghost]
+                dend[0] = pc.is_doc_end[ghost]
+            flat = pc.flat[base : base + S]
+            if flat.shape[0] < S:
+                flat = np.concatenate([flat, np.zeros(S - flat.shape[0], np.uint8)])
+            return (flat, off, pay, tot, dend, prev, emit), nreal
+
+        pending = []
+        for lo in range(0, B, R):
+            inputs, nreal = chunk_inputs(lo)
+            tok, header = fn(
+                tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+                tables["vocab"], *inputs,
+            )
+            pending.append([tok, header, nreal, lo])
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            headers = list(pool.map(lambda p: np.asarray(p[1]), pending))
+            # cap overflow: re-dispatch through the worst-case-caps variant
+            # (compiled lazily; by construction it cannot overflow)
+            for i, hdr in enumerate(headers):
+                if hdr[-1]:
+                    wfn = self._pipeline3(C, K, worst_case=True)
+                    inputs, _ = chunk_inputs(pending[i][3])
+                    tok, header = wfn(
+                        tables["scan2"], tables["buckets"],
+                        tables["byte_to_rank"], tables["vocab"], *inputs,
+                    )
+                    pending[i][0] = tok
+                    headers[i] = np.asarray(header)
+
+            def fetch(i):
+                tok = pending[i][0]
+                hdr = headers[i]
+                t_cap = int(tok.shape[0])
+                nt = int(hdr[-2])
+                if hdr[-1] or nt == 0:
+                    return np.zeros(0, np.uint32)
+                if self.pack24:
+                    words = (3 * nt + 3) // 4
+                    size = min(t_cap, 1 << max(0, (words - 1)).bit_length())
+                    raw = np.asarray(self._flat_slicer(size)(tok))
+                    return unpack_tokens24(raw, nt)
+                size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
+                return np.asarray(self._flat_slicer(size)(tok))[:nt]
+
+            toks = list(pool.map(fetch, range(len(pending))))
+        return [
+            (headers[i], toks[i], pending[i][2], pending[i][3])
+            for i in range(len(pending))
+        ], C
+
+    def encode_corpus3(self, texts, host_fallback=None, K: int | None = None,
+                       chunk_rows: int | None = None):
+        """Handshake-packed device encode: byte-exact with
+        encode_ordinary, script-agnostic row packing (no safe-split
+        rules), corpus bytes uploaded once."""
+        from tiktoken_tpu.ops.pipeline3 import K_DEFAULT, pack_corpus3
+
+        K = K or K_DEFAULT
+        docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
+        out: list = [[] for _ in docs]
+        pc = pack_corpus3(docs, K)
+        B = pc.row_off.shape[0]
+        if B == 0:
+            return out
+        results, C = self._dispatch_chunks3(
+            pc, chunk_rows or DEFAULT_CHUNK_ROWS
+        )
+
+        frags: dict[int, list[np.ndarray]] = {}
+        fallback_docs: set[int] = set()
+        for hdr, toks, nreal, lo in results:
+            counts = hdr[: C][1 : nreal + 1].astype(np.int64)
+            bad = hdr[C : 2 * C][1 : nreal + 1].astype(bool)
+            d = pc.doc_index[lo : lo + nreal]
+            if hdr[-1]:  # cap overflow: every doc in the chunk falls back
+                for doc in np.unique(d):
+                    fallback_docs.add(int(doc))
+                continue
+            for doc in np.unique(d[bad]):
+                fallback_docs.add(int(doc))
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            changes = np.nonzero(np.diff(d))[0] + 1
+            fr_start = np.concatenate([[0], changes])
+            fr_end = np.concatenate([changes, [nreal]])
+            for a, b in zip(fr_start, fr_end):
+                doc = int(d[a])
+                frags.setdefault(doc, []).append(toks[offs[a] : offs[b]])
+        for doc, parts in frags.items():
+            if doc in fallback_docs:
+                continue
+            out[doc] = (
+                parts[0] if len(parts) == 1 else np.concatenate(parts)
+            ).tolist()
+        self.stats["rows"] += B
+        if fallback_docs:
+            self.stats["fallback_docs"] += len(fallback_docs)
+            if host_fallback is None:
+                raise ValueError(
+                    f"{len(fallback_docs)} documents need host fallback but none given"
+                )
+            for d_i in fallback_docs:
+                out[d_i] = host_fallback.encode_ordinary(docs[d_i].decode("utf-8"))
+        return out
 
     def encode_corpus(self, texts, host_fallback=None, row_capacity: int = DEFAULT_ROW):
         """Encode documents on device; byte-exact with encode_ordinary.

@@ -48,19 +48,25 @@ def build_pipeline2_fn(
     vocab_buckets: int,
     B: int,
     pack24: bool = False,
+    char_tables=None,
 ):
     """Returns the pure jit-able v2 pipeline for a fixed [B, row_total]
     chunk geometry.
 
     Signature:
-        (packed_bytes [S,257], pair_buckets_arr, byte_to_rank,
+        (scan_tables, pair_buckets_arr, byte_to_rank,
          vocab_buckets_arr, rows [B,KL] u8, n_payload [B] i32,
          n_total [B] i32)
         -> (flat_tokens [t_cap] u32 — or, with pack24, [3*t_cap/4] u32 of
             3-byte little-endian token ids (ids < 2^24; fetches 25% less
             over the host link) —
             header [2B+2] i32 = [row_counts | row_bad | n_tokens | overflow])
-    """
+
+    ``scan_tables`` selects the scanner: with ``char_tables`` given (a
+    charclass.CharClassTables), it is the (page_planes, mixed_t) pair and
+    the boundary scan runs the gather-free char-level select-sweep kernel
+    (ops/sweep_scan); otherwise it is the byte-indexed packed transition
+    table and the scan is the round-1 sequential gather kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +80,15 @@ def build_pipeline2_fn(
     # even for odd row_capacity values
     t_cap = -(-max(512, N // 2) // 4) * 4
 
-    scan_fn = make_seq_scan_fn(KL, K, 257, 256)  # byte-indexed table
+    if char_tables is not None:
+        from tiktoken_tpu.ops.charclass import make_byte_classes_fn
+        from tiktoken_tpu.ops.sweep_scan import make_char_scan_fn
+
+        classes_fn = make_byte_classes_fn(char_tables)
+        char_scan = make_char_scan_fn(char_tables, KL, K)
+        eof_cls = char_tables.eof_class
+    else:
+        scan_fn = make_seq_scan_fn(KL, K, 257, 256)  # byte-indexed table
     catalog_fn = make_catalog_fn(B, K, p_cap)
     extract_fn = make_extract_fn(B, K, p_cap)
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
@@ -102,17 +116,29 @@ def build_pipeline2_fn(
         return jnp.where(cols64[None, :] < lens[:, None], byts, 0)
 
     def pipeline(
-        packed_bytes, pair_rows, byte_to_rank, vocab_rows,
+        scan_tables, pair_rows, byte_to_rank, vocab_rows,
         rows, n_payload, n_total,
     ):
-        # byte-or-EOF grid (pure vector op; the byte-indexed transition
-        # table makes the class lookup unnecessary)
-        idx = jnp.arange(KL, dtype=jnp.int32)
-        cls = jnp.where(idx[None, :] >= n_total[:, None], 256, rows.astype(jnp.int32))
-        cls_ext = jnp.concatenate(
-            [cls, jnp.full((B, 1), 256, cls.dtype)], axis=1
-        )
-        piece_start, row_bad = scan_fn(packed_bytes, cls_ext, n_payload, n_total)
+        if char_tables is not None:
+            page_planes, mixed_t = scan_tables
+            cls = classes_fn(page_planes, mixed_t, rows, n_total)
+            cls_ext = jnp.concatenate(
+                [cls, jnp.full((B, 1), eof_cls, cls.dtype)], axis=1
+            )
+            piece_start, row_bad = char_scan(cls_ext, n_payload, n_total)
+        else:
+            # byte-or-EOF grid (pure vector op; the byte-indexed transition
+            # table makes the class lookup unnecessary)
+            idx = jnp.arange(KL, dtype=jnp.int32)
+            cls = jnp.where(
+                idx[None, :] >= n_total[:, None], 256, rows.astype(jnp.int32)
+            )
+            cls_ext = jnp.concatenate(
+                [cls, jnp.full((B, 1), 256, cls.dtype)], axis=1
+            )
+            piece_start, row_bad = scan_fn(
+                scan_tables, cls_ext, n_payload, n_total
+            )
 
         starts, lens, n_pieces, _pid = catalog_fn(piece_start, n_payload)
         # strictly below p_cap: slot p_cap-1 is the fill target for the

@@ -1,0 +1,433 @@
+"""Device pipeline v3: handshake rows + monotone-routing stages.
+
+Differences from v2 (ops/pipeline2.py), each removing a measured
+bottleneck (scripts/profile_v2.py):
+
+- **Speculative-handoff packing** replaces safe-split packing: rows are
+  cut every ~K bytes at any character boundary (script-agnostic — CJK,
+  Cyrillic, anything), scanned speculatively from their start, and
+  validated against the previous row's handoff boundary ``spec_f``
+  entirely on device (a shift across the batch dim — consecutive rows of
+  a document are adjacent; the reference's analogous boundary
+  bookkeeping is last_piece_token_len, src/lib.rs:439-441). Documents
+  whose rows fail validation (only K-long phase-locked runs, e.g. giant
+  digit strings) fall back whole. Upload ships the corpus bytes ONCE
+  (flat) + row offsets; the device gathers rows (one wide row-gather per
+  row), so the lookahead margin costs no host-link bandwidth.
+- **Butterfly catalog/extract/assembly** (ops/compaction): the v2
+  `nonzero`/scatter catalog (~15 ms/MB), per-piece word gathers
+  (~35 ms/MB) and masked-scatter assembly become monotone radix routes —
+  log-depth shift+select rounds of pure VPU work. The only remaining
+  random accesses run at piece/token rate: the vocab-hit bucket row
+  gather, the merge loops' pair probes, and one packed-token fetch.
+- Cap overflow no longer reruns through the v1 window-scan pipeline
+  (whose packing contract v3 rows do not satisfy): an overflowing chunk
+  flags all its rows and the affected documents take the host path.
+
+Static caps are fractions of the chunk's payload; every overflow is
+surfaced in the header, never silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tiktoken_tpu.ops.charclass import CharClassTables, make_byte_classes_fn
+from tiktoken_tpu.ops.compaction import compact, expand
+from tiktoken_tpu.ops.pieces import (
+    LONG_SLOT,
+    MISS,
+    SLOT,
+    make_vocab_hit_fn,
+)
+from tiktoken_tpu.ops.slot_merge import make_slot_merge_fn
+from tiktoken_tpu.ops.sweep_scan import make_char_scan_fn
+
+K_DEFAULT = 176  # nominal payload bytes per row (cuts land in [K-3, K])
+FWD = 80  # straddler-resolution margin: LONG_SLOT + lookahead slack
+PAY_PAD = 4  # char-boundary backup can lengthen a row by up to 3 bytes
+
+
+def row_geometry(K: int) -> tuple[int, int]:
+    """(KP, KL): payload capacity and full row-buffer length."""
+    KP = K + PAY_PAD
+    return KP, KP + FWD
+
+
+from dataclasses import dataclass
+from typing import Sequence
+
+
+@dataclass
+class PackedCorpus3:
+    """Handshake-packed corpus: the bytes ship once, rows are described
+    by offsets and gathered on device."""
+
+    flat: np.ndarray  # concatenated doc bytes + KL tail padding, uint8
+    row_off: np.ndarray  # [B] int32 absolute offsets into flat
+    n_payload: np.ndarray  # [B] int32 (<= K + PAY_PAD)
+    n_total: np.ndarray  # [B] int32 valid bytes in the row buffer
+    is_doc_end: np.ndarray  # [B] bool: row buffer reaches its doc's end
+    prev_same_doc: np.ndarray  # [B] bool: previous batch row is same doc
+    doc_index: np.ndarray  # [B] int32
+    K: int
+
+
+def pack_corpus3(docs: Sequence[bytes], K: int = K_DEFAULT) -> PackedCorpus3:
+    """Cut each document every ~K bytes at a character boundary (backing
+    up over at most 3 continuation bytes — script-agnostic). Fully
+    vectorized per document."""
+    KP, KL = row_geometry(K)
+    offs, pays, tots, ends, prevs, dix = [], [], [], [], [], []
+    parts: list[np.ndarray] = []
+    base = 0
+    for d_i, doc in enumerate(docs):
+        data = np.frombuffer(doc, dtype=np.uint8)
+        n = len(data)
+        if n == 0:
+            continue
+        parts.append(data)
+        if n <= K:
+            bounds = np.asarray([0, n], dtype=np.int64)
+        else:
+            nc = np.nonzero((data & 0xC0) != 0x80)[0]
+            grid = np.arange(K, n, K, dtype=np.int64)
+            cuts = nc[np.searchsorted(nc, grid, side="right") - 1]
+            cuts = np.unique(cuts)
+            cuts = cuts[(cuts > 0) & (cuts < n)]
+            bounds = np.concatenate([[0], cuts, [n]])
+        starts = bounds[:-1]
+        pay = np.diff(bounds)
+        assert pay.max(initial=0) <= KP, "char backup exceeded PAY_PAD"
+        tot = np.minimum(n - starts, KL)
+        offs.append(base + starts)
+        pays.append(pay)
+        tots.append(tot)
+        ends.append(starts + tot == n)
+        pv = np.ones(len(starts), dtype=bool)
+        pv[0] = False
+        prevs.append(pv)
+        dix.append(np.full(len(starts), d_i, dtype=np.int32))
+        base += n
+    if not parts:
+        z = np.zeros(0, np.int32)
+        return PackedCorpus3(
+            flat=np.zeros(KL, np.uint8), row_off=z, n_payload=z, n_total=z,
+            is_doc_end=np.zeros(0, bool), prev_same_doc=np.zeros(0, bool),
+            doc_index=z, K=K,
+        )
+    flat = np.concatenate(parts + [np.zeros(KL + 4, np.uint8)])
+    return PackedCorpus3(
+        flat=flat,
+        row_off=np.concatenate(offs).astype(np.int32),
+        n_payload=np.concatenate(pays).astype(np.int32),
+        n_total=np.concatenate(tots).astype(np.int32),
+        is_doc_end=np.concatenate(ends),
+        prev_same_doc=np.concatenate(prevs),
+        doc_index=np.concatenate(dix),
+        K=K,
+    )
+
+
+def build_pipeline3_fn(
+    *,
+    K: int,
+    C: int,
+    flat_size: int,
+    char_tables: CharClassTables,
+    pair_seed: int,
+    pair_buckets: int,
+    vocab_seed: int,
+    vocab_buckets: int,
+    pack24: bool = False,
+    worst_case: bool = False,
+):
+    """The pure jit-able v3 pipeline for a fixed (C rows, K payload)
+    chunk geometry.
+
+    Signature:
+        (scan_tables (page_planes, mixed_t), pair_rows, byte_to_rank,
+         vocab_rows,
+         flat [flat_size] u8, row_off [C] i32, n_payload [C] i32,
+         n_total [C] i32, is_doc_end [C] bool, prev_same_doc [C] bool,
+         emit [C] bool)
+        -> (flat_tokens [t_cap or 3t_cap/4-packed] u32,
+            header [2C+2] i32 = [row_counts | row_bad | n_tokens | overflow])
+    """
+    import jax
+    import jax.numpy as jnp
+
+    KP, KL = row_geometry(K)
+    N = C * KP
+    NX = C * KL
+    # caps sized for realistic piece/miss/token densities; a chunk that
+    # overflows any of them is re-dispatched through the worst_case
+    # variant, whose caps cover the densest legal inputs (a piece per
+    # byte, a token per byte, a miss per two bytes) and so cannot
+    # overflow — no chunk ever falls back for cap reasons alone
+    if worst_case:
+        p_cap = N + 256
+        m_cap = N // 2 + 256
+        l_cap = N // 17 + 64
+        t_cap = -(-(N + 512) // 4) * 4
+    else:
+        p_cap = max(256, N // 6)
+        m_cap = max(256, N // 12)
+        l_cap = max(64, N // 256)
+        t_cap = -(-max(512, N // 3) // 4) * 4
+
+    classes_fn = make_byte_classes_fn(char_tables)
+    scan_fn = make_char_scan_fn(char_tables, KL, KP, handshake=True)
+    hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
+    merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT)
+    merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT)
+    eof_cls = char_tables.eof_class
+
+    def row_gather(flat, row_off):
+        def one(o):
+            return jax.lax.dynamic_slice(flat, (o,), (KL,))
+
+        return jax.vmap(one)(row_off)
+
+    def route_right(dst, values, out_size):
+        """Monotone rightward radix route of `values` to slots `dst`
+        (strictly increasing over routed entries; dst < 0 drops). High
+        displacement bits first (see ops/compaction.expand)."""
+        n = values.shape[0]
+        m = max(n, out_size)
+        if m > n:
+            pad = m - n
+            dst = jnp.concatenate([dst, jnp.full((pad,), -1, dst.dtype)])
+            values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
+        disp = jnp.where(dst >= 0, dst - jnp.arange(m, dtype=jnp.int32), -1)
+        rounds = max(1, (m - 1).bit_length())
+        for b in reversed(range(rounds)):
+            step = 1 << b
+            move = (disp >= 0) & ((disp & step) != 0)
+            take = jnp.concatenate([jnp.zeros((step,), bool), move[:-step]])
+            keep = (disp >= 0) & ~move
+            sh = lambda a, fill: jnp.concatenate(
+                [jnp.full((step,), fill, a.dtype), a[:-step]]
+            )
+            values = jnp.where(take, sh(values, 0), jnp.where(keep, values, 0))
+            disp = jnp.where(take, sh(disp, -1) - step, jnp.where(keep, disp, -1))
+        return values[:out_size]
+
+    def extract_long(rows, starts, lens):
+        """[l_cap, 64] u8 long-piece slots from the row grid (rare:
+        one 17-word gather per long piece)."""
+        flat = rows.reshape(-1)
+        flat32 = jax.lax.bitcast_convert_type(
+            flat.reshape(-1, 4), jnp.uint32
+        ).reshape(-1)
+        flat32 = jnp.concatenate([flat32, jnp.zeros((24,), jnp.uint32)])
+        w0 = jnp.minimum(starts >> 2, NX // 4)
+        colw = w0[:, None] + jnp.arange(17, dtype=jnp.int32)[None, :]
+        w = flat32[colw]
+        shift = ((starts & 3) << 3).astype(jnp.uint32)[:, None]
+        lo = w[:, :16] >> shift
+        hi = jnp.where(shift > 0, w[:, 1:17] << (32 - shift), 0)
+        words = (lo | hi).astype(jnp.uint32)
+        b = jax.lax.bitcast_convert_type(words[:, :, None], jnp.uint8)
+        byts = b.reshape(words.shape[0], 64)
+        cols64 = jnp.arange(LONG_SLOT, dtype=jnp.int32)
+        return jnp.where(cols64[None, :] < lens[:, None], byts, 0)
+
+    def pipeline(
+        scan_tables, pair_rows, byte_to_rank, vocab_rows,
+        flat, row_off, n_payload, n_total, is_doc_end, prev_same_doc, emit,
+    ):
+        page_planes, mixed_t = scan_tables
+        rows = row_gather(flat, row_off)  # [C, KL] u8
+
+        cls = classes_fn(page_planes, mixed_t, rows, n_total)
+        cls_ext = jnp.concatenate(
+            [cls, jnp.full((C, 1), eof_cls, cls.dtype)], axis=1
+        )
+        mask, spec_f, row_bad = scan_fn(cls_ext, n_payload, n_total, is_doc_end)
+
+        # ---- handshake validation (device-side, batch shift) --------------
+        z1 = jnp.zeros((1,), jnp.int32)
+        prev_f = jnp.concatenate([z1, spec_f[:-1]])
+        prev_pay = jnp.concatenate([z1, n_payload[:-1]])
+        g = jnp.where(prev_same_doc, prev_f - prev_pay, 0)
+        g = jnp.clip(g, 0, KP)
+        gbit = jnp.take_along_axis(
+            mask, jnp.clip(g, 0, KP - 1)[:, None], axis=1
+        )[:, 0]
+        ok = gbit | (g == n_payload)
+        row_bad = row_bad | (prev_same_doc & ~ok)
+
+        colsKP = jnp.arange(KP, dtype=jnp.int32)[None, :]
+        mask3 = mask & (colsKP >= g[:, None]) & emit[:, None]
+
+        # ---- catalog: butterfly-compact piece starts ----------------------
+        rows_i = jnp.arange(C, dtype=jnp.int32)
+        colsKL = jnp.arange(KL, dtype=jnp.int32)[None, :]
+        pos_grid = rows_i[:, None] * KL + colsKL  # [C, KL] row-grid coords
+        row_end_flat = rows_i * KL + spec_f
+        mask3x = jnp.concatenate(
+            [mask3, jnp.zeros((C, KL - KP), bool)], axis=1
+        )  # [C, KL]
+        (starts, prow, pend), n_pieces = compact(
+            mask3x.reshape(-1),
+            [
+                pos_grid.reshape(-1),
+                jnp.broadcast_to(rows_i[:, None], (C, KL)).reshape(-1),
+                jnp.broadcast_to(row_end_flat[:, None], (C, KL)).reshape(-1),
+            ],
+            p_cap,
+        )
+        overflow = n_pieces > p_cap
+        live = jnp.arange(p_cap, dtype=jnp.int32) < n_pieces
+        nxt = jnp.concatenate([starts[1:], jnp.zeros((1,), starts.dtype)])
+        nxt_row = jnp.concatenate([prow[1:], jnp.full((1,), -1, prow.dtype)])
+        ends = jnp.where((nxt_row == prow) & live, nxt, pend)
+        lens = jnp.where(live, ends - starts, 0)
+
+        # pieces the device cannot merge: flag their rows (piece-rate
+        # scatter, rare in effect)
+        too_long = lens > LONG_SLOT
+        row_bad = row_bad | (
+            jnp.zeros((C,), bool)
+            .at[jnp.where(too_long, prow, 0)]
+            .max(too_long)
+        )
+
+        # ---- extract: two monotone routes, byte grid -> 16B slots ---------
+        pid_grid = jnp.cumsum(mask3x.astype(jnp.int32).reshape(-1)) - 1
+        start_grid = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(mask3x, pos_grid, -1), axis=1
+        ).reshape(-1)
+        posf = pos_grid.reshape(-1)
+        j = posf - start_grid
+        endf = jnp.broadcast_to(row_end_flat[:, None], (C, KL)).reshape(-1)
+        route_valid = (
+            (start_grid >= 0)
+            & (j < SLOT)
+            & (posf < endf)
+            & (pid_grid >= 0)
+            & (pid_grid < p_cap)
+        )
+        (dense_b, dense_pid, dense_j), _nd = compact(
+            route_valid,
+            [rows.reshape(-1).astype(jnp.int32), pid_grid, j],
+            NX,
+        )
+        # dense -> slot arena: dst = pid*16 + j is monotone because the
+        # dense stream capped every piece at 16 bytes
+        dense_dst = jnp.where(
+            jnp.arange(NX, dtype=jnp.int32) < _nd, dense_pid * SLOT + dense_j, -1
+        )
+        arena = route_right(dense_dst, dense_b, p_cap * SLOT)
+        slot_bytes = arena.astype(jnp.uint8).reshape(p_cap, SLOT)
+        lens16 = jnp.clip(lens, 0, SLOT)
+        lane16 = jnp.arange(SLOT, dtype=jnp.int32)[None, :]
+        slot_bytes = jnp.where(lane16 < lens16[:, None], slot_bytes, 0)
+        words = jax.lax.bitcast_convert_type(
+            slot_bytes.reshape(p_cap, 4, 4), jnp.uint32
+        ).reshape(p_cap, 4)
+
+        hit = hit_fn(vocab_rows, words, jnp.where(lens <= SLOT, lens, 0))
+
+        # ---- short misses -------------------------------------------------
+        is_short_miss = live & (lens >= 2) & (lens <= SLOT) & (hit == MISS)
+        mslot_of_piece = jnp.cumsum(is_short_miss.astype(jnp.int32)) - 1
+        piece_idx = jnp.arange(p_cap, dtype=jnp.int32)
+        m_cols, n_miss = compact(
+            is_short_miss,
+            [slot_bytes[:, i] for i in range(SLOT)] + [lens, piece_idx],
+            m_cap,
+        )
+        m_overflow = n_miss > m_cap
+        m_real = jnp.arange(m_cap, dtype=jnp.int32) < n_miss
+        m_bytes = jnp.stack(m_cols[:SLOT], axis=1).astype(jnp.uint8)
+        m_lens = jnp.where(m_real, m_cols[SLOT], 0)
+        m_pid = m_cols[SLOT + 1]
+        m_tok, m_alive, _r1 = merge16(pair_rows, byte_to_rank, m_bytes, m_lens)
+        m_alive = m_alive & m_real[:, None]
+        m_counts = jnp.sum(m_alive.astype(jnp.int32), axis=1)
+        (m_tok_p,), _ = compact(m_alive, [m_tok], SLOT)
+
+        # ---- long pieces --------------------------------------------------
+        is_long = live & (lens > SLOT) & (lens <= LONG_SLOT)
+        lslot_of_piece = jnp.cumsum(is_long.astype(jnp.int32)) - 1
+        (l_starts, l_lens_c, l_pid), n_long = compact(
+            is_long, [starts, lens, piece_idx], l_cap
+        )
+        l_overflow = n_long > l_cap
+        l_real = jnp.arange(l_cap, dtype=jnp.int32) < n_long
+        l_lens = jnp.where(l_real, l_lens_c, 0)
+        l_bytes = extract_long(rows, l_starts, l_lens)
+        l_tok, l_alive, _r2 = merge64(pair_rows, byte_to_rank, l_bytes, l_lens)
+        l_alive = l_alive & l_real[:, None]
+        l_counts = jnp.sum(l_alive.astype(jnp.int32), axis=1)
+        (l_tok_p,), _ = compact(l_alive, [l_tok], LONG_SLOT)
+
+        # ---- per-piece token counts (merge results routed back) -----------
+        first_byte = slot_bytes[:, 0].astype(jnp.int32)
+        single_tok = jnp.where(lens == 1, byte_to_rank[first_byte], hit)
+        is_single = live & (
+            (lens == 1) | ((lens >= 2) & (lens <= SLOT) & (hit != MISS))
+        )
+        m_dst = jnp.where(m_real, m_pid, -1)
+        counts_m = route_right(m_dst, m_counts, p_cap)
+        l_dst = jnp.where(l_real, l_pid, -1)
+        counts_l = route_right(l_dst, l_counts, p_cap)
+        counts = jnp.where(
+            is_single, 1, jnp.where(is_short_miss, counts_m,
+                                    jnp.where(is_long, counts_l, 0))
+        )
+
+        # unified packed-token base: short-miss slot s -> s*16, long slot
+        # s -> m_cap*16 + s*64; singles carry their value in-band
+        base = jnp.where(
+            is_short_miss,
+            jnp.clip(mslot_of_piece, 0, m_cap - 1) * SLOT,
+            jnp.where(
+                is_long,
+                m_cap * SLOT
+                + jnp.clip(lslot_of_piece, 0, l_cap - 1) * LONG_SLOT,
+                0,
+            ),
+        )
+        (e_single, e_base, e_issingle, _e_prow), e_k, e_valid, n_tokens = expand(
+            counts,
+            [single_tok, base, is_single.astype(jnp.int32), prow],
+            t_cap,
+        )
+        t_overflow = n_tokens > t_cap
+        unified = jnp.concatenate([m_tok_p.reshape(-1), l_tok_p.reshape(-1)])
+        fetched = unified[jnp.clip(e_base + e_k, 0, unified.shape[0] - 1)]
+        flat_tok = jnp.where(
+            e_valid, jnp.where(e_issingle == 1, e_single, fetched), 0
+        ).astype(jnp.uint32)
+
+        # per-row token counts (piece-rate scatter-add)
+        row_counts = (
+            jnp.zeros((C,), jnp.int32)
+            .at[jnp.clip(prow, 0, C - 1)]
+            .add(jnp.where(live, counts, 0))
+        )
+
+        overflow = overflow | m_overflow | l_overflow | t_overflow
+        if pack24:
+            b0 = (flat_tok & 0xFF).astype(jnp.uint8)
+            b1 = ((flat_tok >> 8) & 0xFF).astype(jnp.uint8)
+            b2 = ((flat_tok >> 16) & 0xFF).astype(jnp.uint8)
+            bytes3 = jnp.stack([b0, b1, b2], axis=1).reshape(-1)
+            flat_tok = jax.lax.bitcast_convert_type(
+                bytes3.reshape(-1, 4), jnp.uint32
+            )
+
+        header = jnp.concatenate(
+            [
+                row_counts,
+                row_bad.astype(jnp.int32),
+                n_tokens[None].astype(jnp.int32),
+                overflow.astype(jnp.int32)[None],
+            ]
+        )
+        return flat_tok, header
+
+    return pipeline

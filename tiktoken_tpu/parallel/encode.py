@@ -22,7 +22,7 @@ _TABLE_NAMES = (
     "packed", "class_of", "buckets", "byte_to_rank"
 )
 _TABLE_NAMES2 = (
-    "packed_bytes", "buckets", "byte_to_rank", "vocab"
+    "scan2", "buckets", "byte_to_rank", "vocab"
 )
 
 
@@ -67,7 +67,10 @@ class ShardedEngine:
             host = self.engine._tables2()
             names = set(_TABLE_NAMES) | set(_TABLE_NAMES2)
             self._sharded_tables = {
-                k: jax.device_put(np.asarray(host[k]), rep) for k in names
+                k: jax.tree.map(
+                    lambda a: jax.device_put(np.asarray(a), rep), host[k]
+                )
+                for k in names
             }
         return self._sharded_tables
 
@@ -141,24 +144,28 @@ class ShardedEngine:
         row1 = P(axis)
 
         def per_shard(
-            packed_bytes, buckets, byte_to_rank, vocab,
+            scan_tables, buckets, byte_to_rank, vocab,
             rows, n_payload, n_total,
         ):
             flat, header = pipeline(
-                packed_bytes, buckets, byte_to_rank, vocab,
+                scan_tables, buckets, byte_to_rank, vocab,
                 rows, n_payload, n_total,
             )
+            # per-shard partial counters, summed on the host: the forward
+            # path stays collective-free (rows are independent), so no
+            # shard ever waits on another — scan trip counts are
+            # data-dependent and the XLA CPU rendezvous stuck-detector
+            # fires on imbalanced shards if a psum is placed here.
             local = jnp.stack(
                 [jnp.sum(n_payload.astype(jnp.int32)), header[-2]]
             )
-            totals = jax.lax.psum(local, axis)
-            return flat, header, totals
+            return flat, header, local
 
         sharded = jax.shard_map(
             per_shard,
             mesh=self.mesh,
             in_specs=(rep,) * 4 + (row2, row1, row1),
-            out_specs=(row1, row1, rep),
+            out_specs=(row1, row1, row1),
             check_vma=False,
         )
         fn = jax.jit(sharded)
