@@ -166,13 +166,22 @@ def main() -> None:
     _ = enc.encode_corpus(docs[:1], strategy="host")
 
     log("timing device-only encode_corpus...")
-    dsample = docs[: max(2, len(docs) // 8)]
+    dsample = docs[: max(2, len(docs) // 4)]
     dbytes = sum(len(d.encode()) for d in dsample)
-    t0 = time.perf_counter_ns()
-    _ = enc.encode_corpus(dsample, strategy="device")
-    t1 = time.perf_counter_ns()
-    device_only_mbs = dbytes / ((t1 - t0) / 1e9) / 1e6
+    device_only_mbs = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter_ns()
+        _ = enc.encode_corpus(dsample, strategy="device")
+        t1 = time.perf_counter_ns()
+        device_only_mbs = max(device_only_mbs, dbytes / ((t1 - t0) / 1e9) / 1e6)
     log(f"device-only: {device_only_mbs:.2f} MB/s")
+
+    log("timing host-only encode_corpus...")
+    t0 = time.perf_counter_ns()
+    _ = enc.encode_corpus(dsample, strategy="host")
+    t1 = time.perf_counter_ns()
+    host_mbs = dbytes / ((t1 - t0) / 1e9) / 1e6
+    log(f"host-only: {host_mbs:.2f} MB/s")
 
     log("timing encode_corpus (auto scheduling, best of 2)...")
     device_mbs = 0.0
@@ -215,6 +224,9 @@ def main() -> None:
                 "value": round(device_mbs, 2),
                 "unit": "MB/s",
                 "vs_baseline": round(device_mbs / max(ref_mbs, 1e-9), 2),
+                "device_only": round(device_only_mbs, 2),
+                "host_only": round(host_mbs, 2),
+                "ref_1thread": round(ref_mbs, 2),
             }
         )
     )

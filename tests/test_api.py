@@ -157,6 +157,19 @@ def test_encode_to_numpy():
     enc = make_encoding("cl100k")
     arr = enc.encode_to_numpy("hello world, it's 123")
     assert arr.dtype == np.uint32
+    assert arr.tolist() == enc.encode_ordinary("hello world, it's 123")
+    if enc._core_bpe._native_core():
+        # zero-copy contract: a view over the C core's buffer, no
+        # intermediate Python list (reference: src/py.rs:186-248)
+        assert arr.base is not None and arr.base.dtype == np.uint32
+    # specials still work (list path)
+    eot = "<|endoftext|>"
+    arr2 = enc.encode_to_numpy(f"hi {eot}", allowed_special="all")
+    assert arr2[-1] == enc.encode_single_token(eot)
+    with pytest.raises(ValueError):
+        enc.encode_to_numpy(f"hi {eot}")
+    # surrogate fallback matches encode()
+    assert enc.encode_to_numpy("a\ud800b").tolist() == enc.encode("a\ud800b")
     assert arr.tolist() == enc.encode("hello world, it's 123")
 
 

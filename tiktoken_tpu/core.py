@@ -170,12 +170,36 @@ class Encoding:
         allowed_special: Literal["all"] | AbstractSet[str] = set(),  # noqa: B006
         disallowed_special: Literal["all"] | Collection[str] = "all",
     ) -> npt.NDArray[np.uint32]:
-        """Encodes a string into tokens, returning a numpy uint32 array."""
+        """Encodes a string into tokens, returning a numpy uint32 array.
+
+        With the native core and no special tokens in play, the result is
+        a zero-copy view over the buffer the C core filled (the
+        reference's buffer-protocol path, reference: src/py.rs:186-248 /
+        tiktoken/core.py:138-162) — no Python list is materialized."""
         import numpy as np
 
-        tokens = self.encode(
-            text, allowed_special=allowed_special, disallowed_special=disallowed_special
+        allowed_special, _ = self._resolve_specials(
+            text, allowed_special, disallowed_special
         )
+        native = self._core_bpe._native_core()
+        if native and not (
+            allowed_special
+            and _special_token_regex(frozenset(allowed_special)).search(text)
+        ):
+            try:
+                return native.encode_ordinary_numpy(text.encode("utf-8"))
+            except UnicodeEncodeError:
+                fixed = text.encode("utf-16", "surrogatepass").decode(
+                    "utf-16", "replace"
+                )
+                return native.encode_ordinary_numpy(fixed.encode("utf-8"))
+            except RuntimeError:
+                pass
+        try:
+            tokens = self._core_bpe.encode(text, allowed_special)[0]
+        except UnicodeEncodeError:
+            text = text.encode("utf-16", "surrogatepass").decode("utf-16", "replace")
+            tokens = self._core_bpe.encode(text, allowed_special)[0]
         return np.asarray(tokens, dtype=np.uint32)
 
     def encode_ordinary_batch(self, text: list[str], *, num_threads: int = 8) -> list[list[int]]:
@@ -302,17 +326,39 @@ class Encoding:
                 )
 
         def device_worker():
-            # one doc at a time, and leave the queue's tail to the host
-            # worker (a slow device grab at the end would gate completion)
-            while q.qsize() >= 3:
-                try:
-                    i = q.get_nowait()
-                except queue.Empty:
+            # multi-document batches per device call: the dispatch+fetch
+            # floor (~27ms, HARDWARE.md) would otherwise cap the device at
+            # a few dozen docs/s regardless of size. Leave the queue's
+            # tail to the host worker (a slow device grab at the end would
+            # gate completion).
+            import os as _os
+
+            batch_bytes = int(
+                _os.environ.get("TIKTOKEN_TPU_HYBRID_BATCH", 8 << 20)
+            )
+            while q.qsize() >= 4:
+                # adaptive batch: never more than a third of the remaining
+                # queue, so the host always has work and the final stretch
+                # is never gated on one slow device grab
+                take_docs = max(1, q.qsize() // 3)
+                idxs: list[int] = []
+                size = 0
+                while size < batch_bytes and len(idxs) < take_docs:
+                    try:
+                        i = q.get_nowait()
+                    except queue.Empty:
+                        break
+                    idxs.append(i)
+                    t = texts[i]
+                    size += len(t) if isinstance(t, (bytes, bytearray)) else len(t) * 2
+                if not idxs:
                     return
                 try:
-                    out[i] = self._device_encode([texts[i]], row_capacity)[0]
+                    got = self._device_encode([texts[i] for i in idxs], row_capacity)
+                    for i, toks in zip(idxs, got):
+                        out[i] = toks
                 except Exception:
-                    # leave out[i] None; the post-join sweep re-encodes it
+                    # leave them None; the post-join sweep re-encodes them
                     return
 
         th = threading.Thread(target=host_worker)

@@ -39,19 +39,32 @@ def load_library():
     if os.environ.get("TIKTOKEN_TPU_NO_NATIVE"):
         return None
     try:
-        with open(_SRC, "rb") as f:
-            src = f.read()
-        tag = hashlib.sha256(src).hexdigest()[:16]
-        d = _artifact_dir()
-        os.makedirs(d, exist_ok=True)
-        so_path = os.path.join(d, f"ttpu_core_{tag}.so")
-        if not os.path.exists(so_path):
-            tmp = so_path + f".{os.getpid()}.tmp"
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", tmp],
-                check=True, capture_output=True, timeout=300,
-            )
-            os.replace(tmp, so_path)
+        # prebuilt wheel artifact first (setup.py builds the core as
+        # tiktoken_tpu/native/_ttpu_core*.so): installs on compiler-less
+        # hosts still get the fast host engine
+        so_path = None
+        import glob as _glob
+
+        prebuilt = sorted(
+            _glob.glob(os.path.join(os.path.dirname(_SRC), "_ttpu_core*.so"))
+        )
+        if prebuilt and not os.environ.get("TIKTOKEN_TPU_NO_PREBUILT"):
+            so_path = prebuilt[0]
+        else:
+            with open(_SRC, "rb") as f:
+                src = f.read()
+            tag = hashlib.sha256(src).hexdigest()[:16]
+            d = _artifact_dir()
+            os.makedirs(d, exist_ok=True)
+            so_path = os.path.join(d, f"ttpu_core_{tag}.so")
+            if not os.path.exists(so_path):
+                tmp = so_path + f".{os.getpid()}.tmp"
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", _SRC, "-o", tmp],
+                    check=True, capture_output=True, timeout=300,
+                )
+                os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
         lib.ttpu_new.restype = ctypes.c_void_p
         lib.ttpu_new.argtypes = [
@@ -155,6 +168,22 @@ class NativeCore:
         if n < 0 or n > cap or (n and out[:n].max() == 0xFFFFFFFF):
             raise RuntimeError("native encode failed")
         return out[:n].tolist(), int(lptl.value)
+
+    def encode_ordinary_numpy(self, data: bytes) -> np.ndarray:
+        """Zero-copy encode: token ids as a uint32 view over the buffer
+        the C core wrote into (no Python list materialization; the
+        reference's TiktokenBuffer analog, reference: src/py.rs:186-248)."""
+        if not data:
+            return np.empty(0, dtype=np.uint32)
+        cap = len(data) + 2
+        out = np.empty(cap, dtype=np.uint32)
+        lptl = ctypes.c_int64(0)
+        n = self._lib.ttpu_encode(
+            self._h, data, len(data), out.ctypes.data, cap, ctypes.byref(lptl)
+        )
+        if n < 0 or n > cap or (n and out[:n].max() == 0xFFFFFFFF):
+            raise RuntimeError("native encode failed")
+        return out[:n]
 
     def encode_piece(self, piece: bytes) -> list[int]:
         cap = len(piece) + 2

@@ -30,10 +30,28 @@ from typing import Sequence
 import numpy as np
 
 # Persistent XLA compilation cache: the jitted pipelines are large and
-# compile slowly; caching makes every later process start warm. Set before
-# the first jax import; users can override or disable via the env.
+# compile slowly; caching makes every later process start warm. Users can
+# override or disable via JAX_COMPILATION_CACHE_DIR.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tiktoken-tpu-jax-cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def _enable_compile_cache() -> None:
+    """Apply the cache config even when jax was imported before us (the
+    env path above only takes effect at jax import time)."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax or read-only config: compiles still work, just cold
+
+
+_enable_compile_cache()
 
 from tiktoken_tpu.ops import artifacts
 from tiktoken_tpu.ops.merge import make_merge_fn
@@ -545,7 +563,7 @@ class DeviceEngine:
                 build_pipeline3_fn(
                     K=K,
                     C=C,
-                    flat_size=C * KP + KL + 8,
+                    flat_size=-(-(C * KP + KL + 8) // 128) * 128,
                     char_tables=self.char_tables,
                     pair_seed=self.pair_table.seed,
                     pair_buckets=self.pair_table.n_buckets,
@@ -573,7 +591,7 @@ class DeviceEngine:
         KP, KL = row_geometry(K)
         R = max(1, chunk_rows - 1)  # real rows per chunk
         C = R + 1
-        S = C * KP + KL + 8
+        S = -(-(C * KP + KL + 8) // 128) * 128
         fn = self._pipeline3(C, K)
         tables = self._tables2()
 

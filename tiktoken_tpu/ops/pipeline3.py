@@ -43,9 +43,10 @@ from tiktoken_tpu.ops.pieces import (
 from tiktoken_tpu.ops.slot_merge import make_slot_merge_fn
 from tiktoken_tpu.ops.sweep_scan import make_char_scan_fn
 
-K_DEFAULT = 176  # nominal payload bytes per row (cuts land in [K-3, K])
+K_DEFAULT = 176  # nominal payload bytes per row (cuts land in [K-backup, K])
 FWD = 80  # straddler-resolution margin: LONG_SLOT + lookahead slack
-PAY_PAD = 4  # char-boundary backup can lengthen a row by up to 3 bytes
+DIGIT_BACKUP = 40  # max bytes a cut backs out of an ASCII digit run
+PAY_PAD = DIGIT_BACKUP + 8  # cut backup can lengthen the following row
 
 
 def row_geometry(K: int) -> tuple[int, int]:
@@ -90,9 +91,26 @@ def pack_corpus3(docs: Sequence[bytes], K: int = K_DEFAULT) -> PackedCorpus3:
         if n <= K:
             bounds = np.asarray([0, n], dtype=np.int64)
         else:
-            nc = np.nonzero((data & 0xC0) != 0x80)[0]
+            # candidate cut positions: character starts that do not fall
+            # inside an ASCII digit run. Digit runs are the one piece
+            # family whose boundaries are phase-locked to the run START
+            # (\p{N}{1,3}), so a speculative scan beginning mid-run can
+            # never resync; every other run family ends at a
+            # content-determined position and self-syncs. Runs longer
+            # than DIGIT_BACKUP keep the in-run cut (rare; the handshake
+            # flags them and the document falls back).
+            is_digit = (data >= 0x30) & (data <= 0x39)
+            in_run = np.zeros(n, dtype=bool)
+            in_run[1:] = is_digit[1:] & is_digit[:-1]
+            okpos = ((data & 0xC0) != 0x80) & ~in_run
+            nc = np.nonzero(okpos)[0]
             grid = np.arange(K, n, K, dtype=np.int64)
             cuts = nc[np.searchsorted(nc, grid, side="right") - 1]
+            # keep forward progress: if backing out of a digit run moved a
+            # cut more than DIGIT_BACKUP bytes, take the raw char cut
+            ncc = np.nonzero((data & 0xC0) != 0x80)[0]
+            raw = ncc[np.searchsorted(ncc, grid, side="right") - 1]
+            cuts = np.where(raw - cuts > min(DIGIT_BACKUP, K // 2), raw, cuts)
             cuts = np.unique(cuts)
             cuts = cuts[(cuts > 0) & (cuts < n)]
             bounds = np.concatenate([[0], cuts, [n]])
@@ -141,6 +159,7 @@ def build_pipeline3_fn(
     vocab_buckets: int,
     pack24: bool = False,
     worst_case: bool = False,
+    stage_stop: str | None = None,
 ):
     """The pure jit-able v3 pipeline for a fixed (C rows, K payload)
     chunk geometry.
@@ -171,23 +190,50 @@ def build_pipeline3_fn(
         l_cap = N // 17 + 64
         t_cap = -(-(N + 512) // 4) * 4
     else:
-        p_cap = max(256, N // 6)
-        m_cap = max(256, N // 12)
-        l_cap = max(64, N // 256)
-        t_cap = -(-max(512, N // 3) // 4) * 4
+        # measured densities on the bench corpus (100k vocab): pieces
+        # ~0.13N, misses ~0.02N, longs ~0.001N, tokens ~0.13N; caps keep
+        # 1.3-2x headroom (the worst-case retry absorbs the rest)
+        p_cap = max(256, N // 5)
+        m_cap = max(256, N // 24)
+        l_cap = max(64, N // 512)
+        t_cap = -(-max(512, N // 5) // 4) * 4
 
     classes_fn = make_byte_classes_fn(char_tables)
-    scan_fn = make_char_scan_fn(char_tables, KL, KP, handshake=True)
+    # deep unroll: the while_loop pays a large fixed cost per iteration on
+    # this backend (HARDWARE.md), so fewer, fatter iterations win
+    scan_fn = make_char_scan_fn(char_tables, KL, KP, handshake=True, unroll=24)
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
-    merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT)
-    merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT)
+    merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT, unroll=8)
+    merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT, unroll=16)
     eof_cls = char_tables.eof_class
 
-    def row_gather(flat, row_off):
-        def one(o):
-            return jax.lax.dynamic_slice(flat, (o,), (KL,))
+    # row gather: vmap(dynamic_slice) lowers to a per-ELEMENT gather
+    # (~10ns/byte — 35 ms/chunk measured), so gather 128-byte blocks
+    # instead (HARDWARE.md: wide row gathers run at ~125M rows/s) and
+    # realign in registers with a 32-way word-shift sweep.
+    NW_ROW = KL // 4 + 1
+    NBLK = (127 + KL + 3) // 128 + 1  # blocks covering any alignment
 
-        return jax.vmap(one)(row_off)
+    def row_gather(flat, row_off):
+        blocks = jax.lax.bitcast_convert_type(
+            flat.reshape(-1, 128 // 4, 4), jnp.uint32
+        )  # [S/128, 32] little-endian words per 128B block
+        bidx = (row_off >> 7)[:, None] + jnp.arange(NBLK, dtype=jnp.int32)[None, :]
+        bidx = jnp.minimum(bidx, blocks.shape[0] - 1)
+        w_in = blocks[bidx].reshape(-1, NBLK * 32)  # [C, NBLK*32]
+        ws = ((row_off & 127) >> 2).astype(jnp.int32)  # word shift 0..31
+        out = jnp.zeros((w_in.shape[0], NW_ROW), jnp.uint32)
+        for s in range(32):
+            out = jnp.where(
+                (ws == s)[:, None], jax.lax.dynamic_slice_in_dim(w_in, s, NW_ROW, 1),
+                out,
+            )
+        r = ((row_off & 3).astype(jnp.uint32) * 8)[:, None]
+        lo = out[:, :-1] >> r
+        hi = jnp.where(r > 0, out[:, 1:] << (32 - r), 0)
+        words = lo | hi  # [C, NW_ROW-1]
+        byts = jax.lax.bitcast_convert_type(words[:, :, None], jnp.uint8)
+        return byts.reshape(words.shape[0], (NW_ROW - 1) * 4)[:, :KL]
 
     def route_right(dst, values, out_size):
         """Monotone rightward radix route of `values` to slots `dst`
@@ -329,6 +375,11 @@ def build_pipeline3_fn(
         ).reshape(p_cap, 4)
 
         hit = hit_fn(vocab_rows, words, jnp.where(lens <= SLOT, lens, 0))
+        if stage_stop == "hit":  # profiling bisect point
+            return (
+                jnp.zeros((4,), jnp.uint32).at[0].set(hit.sum()),
+                jnp.zeros((2 * C + 2,), jnp.int32).at[0].set(n_pieces),
+            )
 
         # ---- short misses -------------------------------------------------
         is_short_miss = live & (lens >= 2) & (lens <= SLOT) & (hit == MISS)
@@ -344,7 +395,11 @@ def build_pipeline3_fn(
         m_bytes = jnp.stack(m_cols[:SLOT], axis=1).astype(jnp.uint8)
         m_lens = jnp.where(m_real, m_cols[SLOT], 0)
         m_pid = m_cols[SLOT + 1]
-        m_tok, m_alive, _r1 = merge16(pair_rows, byte_to_rank, m_bytes, m_lens)
+        if stage_stop == "nomerge":  # profiling bisect: skip both merges
+            m_tok = jnp.zeros((m_cap, SLOT), jnp.uint32)
+            m_alive = jnp.zeros((m_cap, SLOT), bool).at[:, 0].set(m_real)
+        else:
+            m_tok, m_alive, _r1 = merge16(pair_rows, byte_to_rank, m_bytes, m_lens)
         m_alive = m_alive & m_real[:, None]
         m_counts = jnp.sum(m_alive.astype(jnp.int32), axis=1)
         (m_tok_p,), _ = compact(m_alive, [m_tok], SLOT)
@@ -359,7 +414,11 @@ def build_pipeline3_fn(
         l_real = jnp.arange(l_cap, dtype=jnp.int32) < n_long
         l_lens = jnp.where(l_real, l_lens_c, 0)
         l_bytes = extract_long(rows, l_starts, l_lens)
-        l_tok, l_alive, _r2 = merge64(pair_rows, byte_to_rank, l_bytes, l_lens)
+        if stage_stop == "nomerge":
+            l_tok = jnp.zeros((l_cap, LONG_SLOT), jnp.uint32)
+            l_alive = jnp.zeros((l_cap, LONG_SLOT), bool).at[:, 0].set(l_real)
+        else:
+            l_tok, l_alive, _r2 = merge64(pair_rows, byte_to_rank, l_bytes, l_lens)
         l_alive = l_alive & l_real[:, None]
         l_counts = jnp.sum(l_alive.astype(jnp.int32), axis=1)
         (l_tok_p,), _ = compact(l_alive, [l_tok], LONG_SLOT)

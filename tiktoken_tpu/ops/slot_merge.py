@@ -59,10 +59,14 @@ def slot_merge_numpy(
 # ---------------------------------------------------------------------------
 
 
-def make_slot_merge_fn(seed: int, n_buckets: int, W: int):
+def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4):
     """jit-able: (buckets [nb,32] u32, byte_to_rank [256] u32,
     slot_bytes [M,W] u8, lens [M] i32)
-    -> (tokens [M,W] u32, alive [M,W] bool, rounds i32)."""
+    -> (tokens [M,W] u32, alive [M,W] bool, rounds i32).
+
+    ``unroll`` merge steps run per while-loop iteration: the per-iteration
+    cost on this backend is largely fixed (HARDWARE.md), so unrolling
+    divides it; steps on already-finished pieces are masked no-ops."""
     import jax
     import jax.numpy as jnp
 
@@ -115,6 +119,11 @@ def make_slot_merge_fn(seed: int, n_buckets: int, W: int):
             return (r != RANK_MAX).any() & (rounds < W)
 
         def body(state):
+            for _ in range(unroll):
+                state = substep(state)
+            return state
+
+        def substep(state):
             tok, alive, nxt, r, rounds = state
             rmin = jnp.min(r, axis=1)
             k = jnp.argmin(r, axis=1).astype(jnp.int32)  # leftmost min
