@@ -19,6 +19,9 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", "/tmp/tiktoken-tpu-jax-cache"
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# shallower loop unrolls: tuned-deep bodies are a TPU throughput knob but
+# multiply CPU-backend compile time in tests
+os.environ.setdefault("TIKTOKEN_TPU_SCAN_UNROLL", "6")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # The axon sitecustomize imports jax and pins jax_platforms before conftest

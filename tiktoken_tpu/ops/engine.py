@@ -1,24 +1,21 @@
-"""The TPU device engine: packed byte rows -> token ids, end to end.
+"""The TPU device engine: corpus bytes -> token ids, end to end.
 
-Two compiled pipelines share this engine's tables:
+Three compiled pipelines share this engine's tables:
 
-- **v2, the default** (ops/pipeline2.py): sequential lockstep scanner ->
-  piece catalog -> 16-byte slot extraction -> whole-piece vocab hits ->
-  slot merge on misses -> flat token stream per chunk.
-- **v1, the fallback** (build_pipeline_fn below): window scan + orbit +
-  full-grid lockstep merge; byte-exact but slower, used for chunks whose
-  piece statistics overflow v2's static caps.
-
-Host side, the packer slices documents into rows at *safe split points* —
-positions provably piece starts in any context (newline->letter and
-printable-space-letter rules, differentially validated) — so rows
-tokenize independently. Each row carries LOOK bytes of true continuation
-so lookahead near the row edge resolves exactly; document ends are
-EOF-injected in-band.
+- **v3, the default** (ops/pipeline3.py): speculative-handoff rows
+  (script-agnostic char-boundary packing, validated on device), char-class
+  map + select-sweep scanner, monotone-routing catalog/extract/assembly,
+  slot merges. Cap overflow re-dispatches through a worst-case-caps
+  variant of the same pipeline.
+- **v2** (ops/pipeline2.py, TIKTOKEN_TPU_SCANNER=seq or
+  TIKTOKEN_TPU_PIPELINE=2): sequential lockstep scanner over safe-split
+  rows -> piece catalog -> slot extraction -> vocab hits -> slot merge.
+- **v1** (build_pipeline_fn below): window scan + orbit + full-grid
+  lockstep merge; v2's overflow fallback and the psum'd multichip demo.
 
 Anything the device cannot finish exactly falls back to the host engines
-and is surfaced in stats: hard-cut documents, >64-byte pieces, cap
-overflows, invalid UTF-8. Fallbacks are never silent.
+and is surfaced in stats: handshake-failed or >64-byte-piece documents,
+invalid UTF-8. Fallbacks are never silent.
 """
 
 from __future__ import annotations
@@ -589,41 +586,19 @@ class DeviceEngine:
         B = pc.row_off.shape[0]
         K = pc.K
         KP, KL = row_geometry(K)
+        # next-pow2 chunk sizing (capped): small corpora compile small
+        # programs instead of padding to the full chunk shape
+        chunk_rows = min(chunk_rows, 1 << max(1, B.bit_length()))
         R = max(1, chunk_rows - 1)  # real rows per chunk
         C = R + 1
         S = -(-(C * KP + KL + 8) // 128) * 128
         fn = self._pipeline3(C, K)
         tables = self._tables2()
 
-        def chunk_inputs(lo):
-            hi = min(lo + R, B)
-            nreal = hi - lo
-            idx = np.arange(lo, hi)
-            ghost = lo - 1  # -1 = dummy for the first chunk
+        from tiktoken_tpu.ops.pipeline3 import chunk_inputs3
 
-            off = np.zeros(C, np.int32)
-            pay = np.zeros(C, np.int32)
-            tot = np.zeros(C, np.int32)
-            dend = np.zeros(C, bool)
-            prev = np.zeros(C, bool)
-            emit = np.zeros(C, bool)
-            rows_sel = np.concatenate([[ghost if ghost >= 0 else lo], idx])
-            off_abs = pc.row_off[rows_sel].astype(np.int64)
-            base = int(off_abs.min())
-            off[: nreal + 1] = (off_abs - base).astype(np.int32)
-            pay[1 : nreal + 1] = pc.n_payload[idx]
-            tot[1 : nreal + 1] = pc.n_total[idx]
-            dend[1 : nreal + 1] = pc.is_doc_end[idx]
-            prev[1 : nreal + 1] = pc.prev_same_doc[idx]
-            emit[1 : nreal + 1] = True
-            if ghost >= 0:
-                pay[0] = pc.n_payload[ghost]
-                tot[0] = pc.n_total[ghost]
-                dend[0] = pc.is_doc_end[ghost]
-            flat = pc.flat[base : base + S]
-            if flat.shape[0] < S:
-                flat = np.concatenate([flat, np.zeros(S - flat.shape[0], np.uint8)])
-            return (flat, off, pay, tot, dend, prev, emit), nreal
+        def chunk_inputs(lo):
+            return chunk_inputs3(pc, lo, R, C, S)
 
         pending = []
         for lo in range(0, B, R):
@@ -677,7 +652,9 @@ class DeviceEngine:
         rules), corpus bytes uploaded once."""
         from tiktoken_tpu.ops.pipeline3 import K_DEFAULT, pack_corpus3
 
-        K = K or K_DEFAULT
+        # K is a packing-granularity hint; the compiled scan's cost grows
+        # superlinearly with the row buffer, so large requests are capped
+        K = min(K or K_DEFAULT, 256)
         docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
         out: list = [[] for _ in docs]
         pc = pack_corpus3(docs, K)

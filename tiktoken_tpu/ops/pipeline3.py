@@ -147,6 +147,42 @@ def pack_corpus3(docs: Sequence[bytes], K: int = K_DEFAULT) -> PackedCorpus3:
     )
 
 
+def chunk_inputs3(pc: "PackedCorpus3", lo: int, R: int, C: int, S: int):
+    """Host-side inputs for one handshake chunk: real rows [lo, lo+R)
+    plus the leading ghost (the previous row, which re-provides its
+    handoff boundary and emits nothing). Returns ((flat, off, pay, tot,
+    dend, prev, emit), nreal)."""
+    B = pc.row_off.shape[0]
+    hi = min(lo + R, B)
+    nreal = hi - lo
+    idx = np.arange(lo, hi)
+    ghost = lo - 1  # -1 = dummy for the first chunk
+
+    off = np.zeros(C, np.int32)
+    pay = np.zeros(C, np.int32)
+    tot = np.zeros(C, np.int32)
+    dend = np.zeros(C, bool)
+    prev = np.zeros(C, bool)
+    emit = np.zeros(C, bool)
+    rows_sel = np.concatenate([[ghost if ghost >= 0 else lo], idx])
+    off_abs = pc.row_off[rows_sel].astype(np.int64)
+    base = int(off_abs.min())
+    off[: nreal + 1] = (off_abs - base).astype(np.int32)
+    pay[1 : nreal + 1] = pc.n_payload[idx]
+    tot[1 : nreal + 1] = pc.n_total[idx]
+    dend[1 : nreal + 1] = pc.is_doc_end[idx]
+    prev[1 : nreal + 1] = pc.prev_same_doc[idx]
+    emit[1 : nreal + 1] = True
+    if ghost >= 0:
+        pay[0] = pc.n_payload[ghost]
+        tot[0] = pc.n_total[ghost]
+        dend[0] = pc.is_doc_end[ghost]
+    flat = pc.flat[base : base + S]
+    if flat.shape[0] < S:
+        flat = np.concatenate([flat, np.zeros(S - flat.shape[0], np.uint8)])
+    return (flat, off, pay, tot, dend, prev, emit), nreal
+
+
 def build_pipeline3_fn(
     *,
     K: int,
@@ -198,10 +234,16 @@ def build_pipeline3_fn(
         l_cap = max(64, N // 512)
         t_cap = -(-max(512, N // 5) // 4) * 4
 
+    import os as _os
+
     classes_fn = make_byte_classes_fn(char_tables)
     # deep unroll: the while_loop pays a large fixed cost per iteration on
-    # this backend (HARDWARE.md), so fewer, fatter iterations win
-    scan_fn = make_char_scan_fn(char_tables, KL, KP, handshake=True, unroll=24)
+    # this backend (HARDWARE.md), so fewer, fatter iterations win; tests
+    # lower it (compile time scales with the unrolled body)
+    _unroll = int(_os.environ.get("TIKTOKEN_TPU_SCAN_UNROLL", "24"))
+    scan_fn = make_char_scan_fn(
+        char_tables, KL, KP, handshake=True, unroll=_unroll
+    )
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
     merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT, unroll=8)
     merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT, unroll=16)

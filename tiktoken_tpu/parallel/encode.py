@@ -245,6 +245,156 @@ class ShardedEngine:
         self.stats["rows"] += B
         return row_tokens, np.concatenate(row_bad_all)
 
+    def _program3(self, C: int, K: int):
+        """Sharded v3 handshake pipeline: each chip tokenizes its own
+        self-contained chunk (ghost row included), so the forward pass
+        needs no collectives at all."""
+        key = ("v3", C, K)
+        fn = self._jitted.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from tiktoken_tpu.ops.pipeline3 import build_pipeline3_fn, row_geometry
+
+        KP, KL = row_geometry(K)
+        S = -(-(C * KP + KL + 8) // 128) * 128
+        pipeline = build_pipeline3_fn(
+            K=K, C=C, flat_size=S,
+            char_tables=self.engine.char_tables,
+            pair_seed=self.engine.pair_table.seed,
+            pair_buckets=self.engine.pair_table.n_buckets,
+            vocab_seed=self.engine.vocab_table.seed,
+            vocab_buckets=self.engine.vocab_table.n_buckets,
+            pack24=self.engine.pack24,
+        )
+        rep = P()
+        dat = P(self.axis)
+
+        def per_shard(scan_tables, buckets, byte_to_rank, vocab, *chunk):
+            chunk = tuple(c[0] for c in chunk)  # strip the shard axis
+            flat, header = pipeline(
+                scan_tables, buckets, byte_to_rank, vocab, *chunk
+            )
+            return flat[None], header[None]
+
+        sharded = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(rep,) * 4 + (dat,) * 7,
+            out_specs=(dat, dat),
+            check_vma=False,
+        )
+        fn = jax.jit(sharded)
+        self._jitted[key] = fn
+        return fn
+
+    def encode_corpus3(
+        self,
+        texts: Sequence[str | bytes],
+        host_fallback=None,
+        K: int | None = None,
+        chunk_rows: int = 1024,
+    ) -> list[list[int]]:
+        """Handshake-packed encode across the mesh: one self-contained
+        chunk per device per dispatch; byte-exact with encode_ordinary."""
+        import jax
+        import numpy as np
+
+        from tiktoken_tpu.ops.engine import unpack_tokens24
+        from tiktoken_tpu.ops.pipeline3 import (
+            K_DEFAULT,
+            chunk_inputs3,
+            pack_corpus3,
+            row_geometry,
+        )
+
+        K = min(K or K_DEFAULT, 256)  # packing hint; large K compiles poorly
+        docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
+        out: list[list[int]] = [[] for _ in docs]
+        pc = pack_corpus3(docs, K)
+        B = pc.row_off.shape[0]
+        if B == 0:
+            return out
+        n_dev = self.n_devices
+        per_dev = -(-B // n_dev)
+        chunk_rows = min(chunk_rows, 1 << max(1, per_dev.bit_length()))
+        R = max(1, chunk_rows - 1)
+        C = R + 1
+        KP, KL = row_geometry(K)
+        S = -(-(C * KP + KL + 8) // 128) * 128
+        fn = self._program3(C, K)
+        tables = self._tables2()
+        shard1 = batch_sharded(self.mesh, self.axis, rank=2)
+
+        frags: dict[int, list[np.ndarray]] = {}
+        fallback_docs: set[int] = set()
+        for g_lo in range(0, B, R * n_dev):
+            chunks = []
+            nreals = []
+            for d in range(n_dev):
+                lo = g_lo + d * R
+                inputs, nreal = chunk_inputs3(
+                    pc, min(lo, B - 1), R if lo < B else 0, C, S
+                )
+                chunks.append(inputs)
+                nreals.append(nreal if lo < B else 0)
+            stacked = [
+                jax.device_put(np.stack([c[i] for c in chunks]), shard1)
+                for i in range(7)
+            ]
+            flat, header = fn(
+                tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+                tables["vocab"], *stacked,
+            )
+            flat = np.asarray(flat)
+            header = np.asarray(header)
+            for d in range(n_dev):
+                nreal = nreals[d]
+                if nreal <= 0:
+                    continue
+                lo = g_lo + d * R
+                hdr = header[d]
+                counts = hdr[:C][1 : nreal + 1].astype(np.int64)
+                bad = hdr[C : 2 * C][1 : nreal + 1].astype(bool)
+                di = pc.doc_index[lo : lo + nreal]
+                nt = int(hdr[-2])
+                if hdr[-1]:
+                    for doc in np.unique(di):
+                        fallback_docs.add(int(doc))
+                    continue
+                toks = flat[d]
+                if self.engine.pack24:
+                    toks = unpack_tokens24(np.ascontiguousarray(toks), nt)
+                else:
+                    toks = toks[:nt]
+                for doc in np.unique(di[bad]):
+                    fallback_docs.add(int(doc))
+                offs = np.concatenate([[0], np.cumsum(counts)])
+                changes = np.nonzero(np.diff(di))[0] + 1
+                fr_start = np.concatenate([[0], changes])
+                fr_end = np.concatenate([changes, [nreal]])
+                for a, b in zip(fr_start, fr_end):
+                    doc = int(di[a])
+                    frags.setdefault(doc, []).append(toks[offs[a] : offs[b]])
+        for doc, parts in frags.items():
+            if doc in fallback_docs:
+                continue
+            out[doc] = (
+                parts[0] if len(parts) == 1 else np.concatenate(parts)
+            ).tolist()
+        self.stats["rows"] += B
+        if fallback_docs:
+            self.stats["fallback_docs"] += len(fallback_docs)
+            if host_fallback is None:
+                raise ValueError(
+                    f"{len(fallback_docs)} documents need host fallback but none given"
+                )
+            for d_i in fallback_docs:
+                out[d_i] = host_fallback.encode_ordinary(docs[d_i].decode("utf-8"))
+        return out
+
     # -- public ---------------------------------------------------------
 
     def pad_batch(self, batch: PackedBatch) -> PackedBatch:
@@ -313,7 +463,17 @@ class ShardedEngine:
         row_capacity: int | None = None,
     ) -> list[list[int]]:
         """Encode documents across the mesh; byte-exact with
-        ``encode_ordinary``. Mirrors DeviceEngine.encode_corpus."""
+        ``encode_ordinary``. Mirrors DeviceEngine.encode_corpus. Routes
+        through the v3 handshake pipeline when char tables are enabled."""
+        import os
+
+        if (
+            self.engine.char_tables is not None
+            and os.environ.get("TIKTOKEN_TPU_PIPELINE", "3") != "2"
+        ):
+            return self.encode_corpus3(
+                texts, host_fallback=host_fallback, K=row_capacity
+            )
         row_capacity = row_capacity or batch_default_row()
         docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
         batch = pack_documents(docs, row_capacity)
