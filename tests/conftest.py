@@ -13,16 +13,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent XLA compilation cache: the scan kernels compile slowly on the
-# CPU backend; caching makes repeat test runs start warm.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/tiktoken-tpu-jax-cache"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# NOTE: the jax persistent compilation cache is deliberately NOT enabled:
+# executable serialization segfaults the CPU backend on some of this
+# repo's programs (cache-write crash inside put_executable_and_time).
 # shallower loop unrolls: tuned-deep bodies are a TPU throughput knob but
 # multiply CPU-backend compile time in tests
 os.environ.setdefault("TIKTOKEN_TPU_SCAN_UNROLL", "6")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # The axon sitecustomize imports jax and pins jax_platforms before conftest
 # runs; undo that so tests always see the virtual 8-device CPU mesh.

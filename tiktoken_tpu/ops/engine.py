@@ -26,29 +26,6 @@ from typing import Sequence
 
 import numpy as np
 
-# Persistent XLA compilation cache: the jitted pipelines are large and
-# compile slowly; caching makes every later process start warm. Users can
-# override or disable via JAX_COMPILATION_CACHE_DIR.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tiktoken-tpu-jax-cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-
-
-def _enable_compile_cache() -> None:
-    """Apply the cache config even when jax was imported before us (the
-    env path above only takes effect at jax import time)."""
-    try:
-        import jax
-
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ["JAX_COMPILATION_CACHE_DIR"],
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass  # older jax or read-only config: compiles still work, just cold
-
-
-_enable_compile_cache()
 
 from tiktoken_tpu.ops import artifacts
 from tiktoken_tpu.ops.merge import make_merge_fn

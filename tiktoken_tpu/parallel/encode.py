@@ -3,9 +3,12 @@
 Replaces the reference's ThreadPoolExecutor batch layer (reference:
 tiktoken/core.py:164-206) with SPMD over a ``jax.sharding.Mesh``: packed
 byte rows are sharded along the batch axis, the compiled tables are
-replicated, and one jitted program runs on every chip. Per-shard counters
-are reduced with ``jax.lax.psum`` over the mesh axis (ICI within a slice,
-DCN across slices) via ``shard_map``.
+replicated, and one jitted program runs on every chip via ``shard_map``.
+The forward pass is collective-free by design (rows are independent, and
+the scan's data-dependent trip counts make in-graph collectives trip
+XLA's CPU rendezvous stuck-detector under load); per-shard counters are
+summed on the host, and the balanced distributed train step
+(parallel/train.py) carries the psum demonstration.
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ _TABLE_NAMES2 = (
 
 @dataclass
 class CorpusStats:
-    """psum-reduced, mesh-replicated corpus counters."""
+    """host-reduced corpus counters (summed over shard partials)."""
 
     rows: int
     payload_bytes: int
@@ -43,9 +46,9 @@ class ShardedEngine:
     Rows are padded to a multiple of the mesh size and sharded along the
     batch dim; empty padding rows tokenize to zero tokens, so results are
     unaffected. Tables are replicated (they are a few MB; see SURVEY.md
-    §2.4). The whole pipeline is a single pjit-style program: XLA inserts
-    no collectives in the forward pass (rows are independent) and one
-    all-reduce for the stats, exactly what the topology wants.
+    §2.4). The whole pipeline is a single pjit-style program with no
+    collectives at all (rows are independent; stats partials are summed
+    on the host), exactly what the topology wants.
     """
 
     def __init__(self, engine: DeviceEngine, mesh, *, axis: str = DATA_AXIS):
@@ -100,8 +103,12 @@ class ShardedEngine:
                 packed_trans, class_of, buckets, byte_to_rank,
                 rows, n_payload, n_total,
             )
-            # psum-reduced corpus counters (replicated result): the
-            # collective rides ICI within a slice, DCN across slices.
+            # per-shard partial counters, summed on the host: the scan's
+            # while_loop trip count is data-dependent, and a collective
+            # behind imbalanced shards trips XLA's CPU rendezvous
+            # stuck-detector under load (HARDWARE.md). Real-pod psum
+            # stays demonstrated by the balanced train-step program
+            # (parallel/train.corpus_pair_counts).
             local = jnp.stack(
                 [
                     jnp.int32(rows.shape[0]),
@@ -111,14 +118,13 @@ class ShardedEngine:
                     rounds.astype(jnp.int32),
                 ]
             )
-            totals = jax.lax.psum(local, axis)
-            return packed, counts, row_bad, totals
+            return packed, counts, row_bad, local[None]
 
         sharded = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(rep,) * 4 + (row2, row1, row1),
-            out_specs=(row2, row1, row1, rep),
+            out_specs=(row2, row1, row1, P(axis, None)),
             check_vma=False,
         )
         fn = jax.jit(sharded)
@@ -440,7 +446,7 @@ class ShardedEngine:
         packed, counts, row_bad, totals = fn(
             *(tables[k] for k in _TABLE_NAMES), rows, n_payload, n_total
         )
-        totals = np.asarray(totals)
+        totals = np.asarray(totals).sum(axis=0)  # host-reduced shard partials
         stats = CorpusStats(
             rows=int(totals[0]),
             payload_bytes=int(totals[1]),
