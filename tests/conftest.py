@@ -16,9 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # NOTE: the jax persistent compilation cache is deliberately NOT enabled:
 # executable serialization segfaults the CPU backend on some of this
 # repo's programs (cache-write crash inside put_executable_and_time).
-# shallower loop unrolls: tuned-deep bodies are a TPU throughput knob but
-# multiply CPU-backend compile time in tests
-os.environ.setdefault("TIKTOKEN_TPU_SCAN_UNROLL", "6")
+# Loop-unroll depths need no env override here: the kernel builders
+# resolve CPU-friendly defaults per backend (ops/sweep_scan.resolve_unroll).
 
 # The axon sitecustomize imports jax and pins jax_platforms before conftest
 # runs; undo that so tests always see the virtual 8-device CPU mesh.

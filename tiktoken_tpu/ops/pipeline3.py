@@ -234,16 +234,11 @@ def build_pipeline3_fn(
         l_cap = max(64, N // 512)
         t_cap = -(-max(512, N // 5) // 4) * 4
 
-    import os as _os
-
     classes_fn = make_byte_classes_fn(char_tables)
-    # deep unroll: the while_loop pays a large fixed cost per iteration on
-    # this backend (HARDWARE.md), so fewer, fatter iterations win; tests
-    # lower it (compile time scales with the unrolled body)
-    _unroll = int(_os.environ.get("TIKTOKEN_TPU_SCAN_UNROLL", "24"))
-    scan_fn = make_char_scan_fn(
-        char_tables, KL, KP, handshake=True, unroll=_unroll
-    )
+    # unroll depths resolve per backend inside the kernel builders: deep
+    # bodies divide the TPU while_loop iteration floor (HARDWARE.md),
+    # shallow ones keep XLA:CPU compiles fast (sweep_scan.resolve_unroll)
+    scan_fn = make_char_scan_fn(char_tables, KL, KP, handshake=True)
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
     merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT, unroll=8)
     merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT, unroll=16)

@@ -66,9 +66,20 @@ def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4):
 
     ``unroll`` merge steps run per while-loop iteration: the per-iteration
     cost on this backend is largely fixed (HARDWARE.md), so unrolling
-    divides it; steps on already-finished pieces are masked no-ops."""
+    divides it; steps on already-finished pieces are masked no-ops.
+    On the XLA:CPU backend the tuned-deep bodies only multiply compile
+    time (the round-2 multichip gate timed out on them), so the depth is
+    capped at 2 there; ``TIKTOKEN_TPU_MERGE_UNROLL`` overrides both."""
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    env = os.environ.get("TIKTOKEN_TPU_MERGE_UNROLL")
+    if env:
+        unroll = int(env)
+    elif jax.default_backend() == "cpu":
+        unroll = min(unroll, 2)
 
     mask = np.uint32(n_buckets - 1)
 

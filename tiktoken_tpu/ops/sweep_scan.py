@@ -45,6 +45,26 @@ FIRE_BIT = 1 << 5
 REW_BIT = 1 << 6
 
 
+def resolve_unroll(explicit, env_name: str, tpu_default: int, cpu_default: int) -> int:
+    """Loop-unroll depth for the current backend.
+
+    Deep unrolls divide the per-iteration while_loop floor on the TPU
+    backend (HARDWARE.md) but multiply XLA:CPU compile time enough to
+    blow any timeout (the round-2 multichip gate failed on exactly this),
+    so the CPU backend gets shallow bodies unless the env var overrides.
+    """
+    import os
+
+    v = os.environ.get(env_name)
+    if v:
+        return int(v)
+    if explicit is not None:
+        return explicit
+    import jax
+
+    return cpu_default if jax.default_backend() == "cpu" else tpu_default
+
+
 def build_scan_consts(tables: CharClassTables) -> np.ndarray:
     """[S, NW] uint32: per state, the packed per-class step values
     (4 classes per word, 8 bits each):
@@ -210,8 +230,8 @@ def handshake_scan_numpy(
 # ---------------------------------------------------------------------------
 
 
-def make_char_scan_fn(tables: CharClassTables, KL: int, K: int, *, unroll: int = 8,
-                      handshake: bool = False):
+def make_char_scan_fn(tables: CharClassTables, KL: int, K: int, *,
+                      unroll: int | None = None, handshake: bool = False):
     """jit-able: (classes_ext [B, KL+1] i32, n_payload [B] i32,
     n_total [B] i32) -> (piece_start [B, K] bool, row_bad [B] bool).
 
@@ -226,6 +246,10 @@ def make_char_scan_fn(tables: CharClassTables, KL: int, K: int, *, unroll: int =
     of raw bytes."""
     import jax
     import jax.numpy as jnp
+
+    # deep unroll divides the per-iteration loop floor on TPU; shallow
+    # bodies keep XLA:CPU compiles inside any reasonable timeout
+    unroll = resolve_unroll(unroll, "TIKTOKEN_TPU_SCAN_UNROLL", 24, 4)
 
     consts = build_scan_consts(tables)
     S, NW = consts.shape
