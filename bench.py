@@ -204,7 +204,9 @@ def main() -> None:
     )
     log(f"parity vs reference: {parity}")
 
-    # reference single-thread baseline on a subsample
+    # reference baselines on the same host: single-thread and its best
+    # multi-threaded configuration (the published peak is ~16 threads,
+    # BASELINE.md; 8 is this box's core count)
     sample = docs[: max(1, len(docs) // 8)]
     sample_bytes = sum(len(d.encode()) for d in sample)
     _ = oracle.encode_ordinary_batch(sample[:1], num_threads=1)
@@ -212,21 +214,33 @@ def main() -> None:
     _ = oracle.encode_ordinary_batch(sample, num_threads=1)
     t1 = time.perf_counter_ns()
     ref_mbs = sample_bytes / ((t1 - t0) / 1e9) / 1e6
-    log(f"device: {device_mbs:.1f} MB/s | reference 1-thread: {ref_mbs:.1f} MB/s")
+    n_thr = min(8, os.cpu_count() or 8)
+    t0 = time.perf_counter_ns()
+    _ = oracle.encode_ordinary_batch(sample, num_threads=n_thr)
+    t1 = time.perf_counter_ns()
+    ref8_mbs = sample_bytes / ((t1 - t0) / 1e9) / 1e6
+    log(
+        f"node: {device_mbs:.1f} MB/s | device-only: {device_only_mbs:.1f}"
+        f" | reference 1-thread: {ref_mbs:.1f} | {n_thr}-thread: {ref8_mbs:.1f}"
+    )
 
     if not parity:
-        device_mbs = 0.0  # a wrong tokenizer has no throughput
+        device_mbs = device_only_mbs = 0.0  # a wrong tokenizer has no throughput
 
+    # vs_baseline is measured against the STRONGER reference config on
+    # this host (multi-threaded), not its single-thread floor.
     print(
         json.dumps(
             {
                 "metric": "o200k-pattern corpus encode, byte-exact (auto engine scheduling)",
                 "value": round(device_mbs, 2),
                 "unit": "MB/s",
-                "vs_baseline": round(device_mbs / max(ref_mbs, 1e-9), 2),
+                "vs_baseline": round(device_mbs / max(ref_mbs, ref8_mbs, 1e-9), 2),
                 "device_only": round(device_only_mbs, 2),
                 "host_only": round(host_mbs, 2),
                 "ref_1thread": round(ref_mbs, 2),
+                "ref_8thread": round(ref8_mbs, 2),
+                "vs_ref_1thread": round(device_mbs / max(ref_mbs, 1e-9), 2),
             }
         )
     )

@@ -117,7 +117,7 @@ def main():
         ps, bad = char_scan(cls_ext, n_payload, n_total)
         starts, lens, n_pieces, _pid = catalog(ps, n_payload)
         words = extract(rows[:, :K], starts, lens)
-        h = hit(tables["vocab"], words, lens)
+        h = hit(tables["vocab"][0], words, lens)
         return h.astype(jnp.uint32).max(), n_pieces
 
     full = engine._pipeline2(B, KL)
@@ -236,7 +236,7 @@ def profile_tail():
         ps, bad = char_scan(cls_ext, n_payload, n_total)
         starts, lens, n_pieces, _pid = catalog(ps, n_payload)
         words = extract(rows[:, :K], starts, lens)
-        h = hit(tables["vocab"], words, lens)
+        h = hit(tables["vocab"][0], words, lens)
         return starts, lens, words, h
 
     @jax.jit

@@ -85,6 +85,55 @@ def test_chunk_seams_and_geometries(enc):
         _check(enc, docs, K=K, chunk_rows=cr)
 
 
+def test_long_vocab_hit_is_reference_semantics():
+    # The reference short-circuits on ANY whole-piece vocab hit
+    # (src/lib.rs:367-369) — even when merges could never assemble the
+    # token. This vocab has an 18-byte token but NO intermediate merges,
+    # so a merge-only device path would emit 18 singles; the long vocab
+    # table must return the single id, exactly like the host oracle.
+    import tiktoken_tpu
+    import tiktoken_tpu_ext.openai_public as pub
+
+    ranks = {bytes([b]): b for b in range(256)}
+    ranks[b"a" * 18] = 256
+    ranks[b"throw" + b"x" * 30 + b"away"] = 257  # 39 bytes, same property
+    enc = tiktoken_tpu.Encoding(
+        "longhit", pat_str=pub.o200k_pat_str, mergeable_ranks=ranks,
+        special_tokens={},
+    )
+    assert enc.encode_ordinary("a" * 18) == [256]  # host oracle agrees
+    texts = ["a" * 18, "throw" + "x" * 30 + "away", "a" * 17, "b" + "a" * 18]
+    got = enc.device_engine.encode_corpus3(texts, host_fallback=enc._core_bpe)
+    want = [enc.encode_ordinary(t) for t in texts]
+    assert got == want
+    assert got[0] == [256] and got[1] == [257]
+
+
+def test_long_vocab_table_build_and_probe():
+    from tiktoken_tpu.ops.pieces import (
+        build_long_vocab_table,
+        long_vocab_hit_numpy,
+        MISS,
+    )
+
+    ranks = {bytes([b]): b for b in range(256)}
+    toks = [b"x" * n for n in range(17, 65)]
+    for i, t in enumerate(toks):
+        ranks[t] = 256 + i
+    lvt = build_long_vocab_table(ranks)
+    assert lvt.n_long == len(toks)
+    q = np.zeros((len(toks) + 1, 64), np.uint8)
+    lens = np.zeros(len(toks) + 1, np.int32)
+    for i, t in enumerate(toks):
+        q[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lens[i] = len(t)
+    q[-1, :20] = np.frombuffer(b"y" * 20, np.uint8)  # not in vocab
+    lens[-1] = 20
+    got = long_vocab_hit_numpy(lvt, q, lens)
+    assert list(got[:-1]) == [256 + i for i in range(len(toks))]
+    assert got[-1] == MISS
+
+
 def test_encode_corpus_routes_v3(enc):
     got = enc.encode_corpus([CJK * 10, "hello world"], strategy="device")
     assert got == [enc.encode_ordinary(CJK * 10),

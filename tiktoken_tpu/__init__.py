@@ -2,10 +2,12 @@
 
 Drop-in API surface for the reference library (``Encoding``,
 ``get_encoding``, ``encoding_for_model``...), with the compute path
-rebuilt TPU-first: the pre-tokenizer regex is compiled to a byte-level
-scanner automaton executed as a JAX/Pallas kernel, and the rank-ordered
-byte-pair merge runs as a data-parallel fixed-point kernel over byte
-blocks, sharded across device meshes for corpus-scale throughput.
+rebuilt TPU-first: the pre-tokenizer regex is compiled to a char-level
+scanner automaton executed as gather-free XLA select sweeps (Pallas was
+measured out on the current toolchain — HARDWARE.md), pieces are probed
+against an in-device vocabulary table and merged in lane-aligned slots,
+and the whole pipeline shards over device meshes for corpus-scale
+throughput.
 """
 
 from tiktoken_tpu.core import Encoding as Encoding
@@ -18,4 +20,4 @@ from tiktoken_tpu.registry import (
     list_encoding_names as list_encoding_names,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -33,23 +33,21 @@ class Encoding:
         special_tokens: dict[str, int],
         explicit_n_vocab: int | None = None,
     ):
-        """Creates an Encoding object.
+        """Build an encoding from its four defining pieces.
 
-        See tiktoken_tpu_ext/openai_public.py for examples of how to
-        construct an Encoding object.
+        ``tiktoken_tpu_ext/openai_public.py`` shows real constructions.
 
         Args:
-            name: The name of the encoding. It should be clear from the name
-                what behaviour to expect; encodings with different special
-                tokens should have different names.
-            pat_str: A regex pattern string used to split the input text.
-            mergeable_ranks: A dictionary mapping mergeable token bytes to
-                their ranks. The ranks must correspond to merge priority.
-            special_tokens: A dictionary mapping special token strings to
-                their token values.
-            explicit_n_vocab: The number of tokens in the vocabulary. If
-                provided, it is checked that the number of mergeable tokens
-                and special tokens is equal to this number.
+            name: Identifier for this encoding; two encodings that
+                tokenize differently (e.g. different special tokens) must
+                not share a name.
+            pat_str: The pre-tokenization split regex.
+            mergeable_ranks: token bytes -> rank. Rank order doubles as
+                merge priority, so the table fully determines BPE output.
+            special_tokens: special token string -> id.
+            explicit_n_vocab: Optional size cross-check; construction
+                fails unless ranks + specials add up to exactly this and
+                ids are dense up to it.
         """
         self.name = name
 
@@ -122,10 +120,11 @@ class Encoding:
     # ====================
 
     def encode_ordinary(self, text: str) -> list[int]:
-        """Encodes a string into tokens, ignoring special tokens.
+        """Tokenize ``text`` with special-token strings treated as plain
+        text.
 
-        This is equivalent to ``encode(text, disallowed_special=())``
-        (but slightly faster).
+        Same result as ``encode(text, disallowed_special=())``, minus the
+        policy machinery, so it is marginally faster.
         """
         try:
             return self._core_bpe.encode_ordinary(text)
@@ -141,16 +140,17 @@ class Encoding:
         allowed_special: Literal["all"] | AbstractSet[str] = set(),  # noqa: B006
         disallowed_special: Literal["all"] | Collection[str] = "all",
     ) -> list[int]:
-        """Encodes a string into tokens.
+        """Tokenize ``text``, mapping allowed special-token strings to
+        their reserved ids.
 
-        Special tokens are artificial tokens used to unlock capabilities
-        from a model, so by default encode raises an error if the text
-        contains one. Control this per token with ``allowed_special`` and
-        ``disallowed_special``:
-        - ``disallowed_special=()`` never raises and encodes the text of
-          special tokens as natural text.
-        - ``allowed_special="all"`` encodes all special-token text as
-          special tokens.
+        Because special tokens steer model behaviour, any special-token
+        string appearing in untrusted input is a prompt-injection hazard
+        — so by default this raises ``ValueError`` if one occurs in
+        ``text``. Tune per token via the two sets:
+        - ``disallowed_special=()``: never raise; special-token strings
+          tokenize as ordinary text.
+        - ``allowed_special="all"``: every special-token string becomes
+          its reserved id.
         """
         allowed_special, _ = self._resolve_specials(text, allowed_special, disallowed_special)
 
@@ -203,10 +203,9 @@ class Encoding:
         return np.asarray(tokens, dtype=np.uint32)
 
     def encode_ordinary_batch(self, text: list[str], *, num_threads: int = 8) -> list[list[int]]:
-        """Encodes a list of strings into tokens, in parallel, ignoring
-        special tokens.
+        """Batch ``encode_ordinary`` over a document list, in parallel.
 
-        Equivalent to ``encode_batch(text, disallowed_special=())``. With
+        Same result as ``encode_batch(text, disallowed_special=())``. With
         the native core the thread pool lives below the language boundary
         (one C call); texts needing the surrogate fixup or environments
         without a compiler use GIL-releasing Python threads instead.
@@ -229,10 +228,9 @@ class Encoding:
         allowed_special: Literal["all"] | AbstractSet[str] = set(),  # noqa: B006
         disallowed_special: Literal["all"] | Collection[str] = "all",
     ) -> list[list[int]]:
-        """Encodes a list of strings into tokens, in parallel.
+        """Batch ``encode`` over a document list, in parallel.
 
-        See ``encode`` for more details on ``allowed_special`` and
-        ``disallowed_special``.
+        The special-token policy sets work exactly as in ``encode``.
         """
         allowed_special, disallowed_special = self._resolve_specials(
             None, allowed_special, disallowed_special
@@ -381,12 +379,13 @@ class Encoding:
         allowed_special: Literal["all"] | AbstractSet[str] = set(),  # noqa: B006
         disallowed_special: Literal["all"] | Collection[str] = "all",
     ) -> tuple[list[int], list[list[int]]]:
-        """Encodes a string into stable tokens and possible completion
-        sequences.
+        """Split ``text`` into a stable token prefix plus the set of
+        token sequences its unstable tail could become.
 
-        The stable tokens represent only a prefix of ``text``; the
-        completions enumerate token sequences that could complete the
-        unstable tail. This API should itself be considered unstable.
+        Tokens near the end of a string may re-merge with future text, so
+        only a prefix of the ids is final; the completion lists cover
+        every tokenization the tail could take once more text arrives.
+        (The API surface itself carries no stability promise.)
         """
         allowed_special, _ = self._resolve_specials(text, allowed_special, disallowed_special)
 
@@ -394,10 +393,10 @@ class Encoding:
         return tokens, [list(c) for c in completions]
 
     def encode_single_token(self, text_or_bytes: str | bytes) -> int:
-        """Encodes text corresponding to a single token to its token value.
+        """Look up the id of one exact token (special tokens included,
+        no policy check).
 
-        NOTE: this will encode all special tokens.
-        Raises ``KeyError`` if the token is not in the vocabulary.
+        ``KeyError`` if no token has these bytes.
         """
         if isinstance(text_or_bytes, str):
             text_or_bytes = text_or_bytes.encode("utf-8")
@@ -408,39 +407,38 @@ class Encoding:
     # ====================
 
     def decode_bytes(self, tokens: Sequence[int]) -> bytes:
-        """Decodes a list of tokens into bytes."""
+        """Concatenate the byte values of ``tokens``."""
         return self._core_bpe.decode_bytes(tokens)
 
     def decode(self, tokens: Sequence[int], errors: str = "replace") -> str:
-        """Decodes a list of tokens into a string.
+        """Decode ``tokens`` to a string.
 
-        WARNING: the default behaviour of this function is lossy, since
-        decoded bytes are not guaranteed to be valid UTF-8. Control this
-        with the ``errors`` parameter, e.g. ``errors="strict"``.
+        Token boundaries need not align with UTF-8 boundaries, so the
+        concatenated bytes can be invalid UTF-8; the default
+        ``errors="replace"`` silently substitutes U+FFFD there. Pass
+        ``errors="strict"`` to surface such sequences as exceptions.
         """
         return self._core_bpe.decode_bytes(tokens).decode("utf-8", errors=errors)
 
     def decode_single_token_bytes(self, token: int) -> bytes:
-        """Decodes a token into bytes.
+        """Byte value of one token id (special ids included).
 
-        NOTE: this will decode all special tokens.
-        Raises ``KeyError`` if the token is not in the vocabulary.
+        ``KeyError`` for ids outside the vocabulary.
         """
         return self._core_bpe.decode_single_token_bytes(token)
 
     def decode_tokens_bytes(self, tokens: Sequence[int]) -> list[bytes]:
-        """Decodes a list of tokens into a list of bytes."""
+        """Per-token byte values, one ``bytes`` per id."""
         return [self.decode_single_token_bytes(token) for token in tokens]
 
     def decode_with_offsets(self, tokens: Sequence[int]) -> tuple[str, list[int]]:
-        """Decodes a list of tokens into a string and a list of offsets.
+        """Decode to text plus each token's starting character offset.
 
-        Each offset is the index into text corresponding to the start of
-        each token. If UTF-8 character boundaries do not line up with token
-        boundaries, the offset is the index of the first character that
-        contains bytes from the token.
+        A token whose first byte lands mid-character (UTF-8 continuation)
+        is attributed to the character it shares — the offset of the
+        first character containing any of its bytes.
 
-        This currently raises if given tokens that decode to invalid UTF-8.
+        Raises if the concatenated bytes are not valid UTF-8.
         """
         token_bytes = self.decode_tokens_bytes(tokens)
 
@@ -456,7 +454,7 @@ class Encoding:
     def decode_batch(
         self, batch: Sequence[Sequence[int]], *, errors: str = "replace", num_threads: int = 8
     ) -> list[str]:
-        """Decodes a batch (list of lists of tokens) into a list of strings."""
+        """``decode`` across a list of token sequences with a thread pool."""
         decoder = functools.partial(self.decode, errors=errors)
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(decoder, batch))
@@ -464,7 +462,7 @@ class Encoding:
     def decode_bytes_batch(
         self, batch: Sequence[Sequence[int]], *, num_threads: int = 8
     ) -> list[bytes]:
-        """Decodes a batch (list of lists of tokens) into a list of bytes."""
+        """``decode_bytes`` across a list of token sequences with a thread pool."""
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(self.decode_bytes, batch))
 
@@ -473,7 +471,7 @@ class Encoding:
     # ====================
 
     def token_byte_values(self) -> list[bytes]:
-        """Returns the list of all token byte values, sorted."""
+        """All mergeable-token byte values in lexicographic order."""
         return self._core_bpe.token_byte_values()
 
     @property
@@ -498,10 +496,7 @@ class Encoding:
     # ====================
 
     def _encode_single_piece(self, text_or_bytes: str | bytes) -> list[int]:
-        """Encodes text corresponding to bytes without a regex split.
-
-        NOTE: this will not encode any special tokens.
-        """
+        """BPE one piece directly — no regex split, no special tokens."""
         if isinstance(text_or_bytes, str):
             text_or_bytes = text_or_bytes.encode("utf-8")
         return self._core_bpe.encode_single_piece(text_or_bytes)
@@ -525,7 +520,8 @@ class Encoding:
     def __getstate__(self) -> object:
         import tiktoken_tpu.registry
 
-        # As an optimisation, pickle registered encodings by reference.
+        # Registered encodings pickle as just their name (cheap, and
+        # unpickling reuses the registry singleton).
         if self is tiktoken_tpu.registry.ENCODINGS.get(self.name):
             return self.name
         return {

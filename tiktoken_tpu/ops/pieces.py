@@ -33,6 +33,8 @@ SLOT = 16  # short-piece slot bytes; pieces longer go to the long path
 LONG_SLOT = 64
 VOCAB_BUCKET_SLOTS = 10
 VOCAB_BUCKET_WIDTH = 64
+LONG_BUCKET_SLOTS = 7  # 7 x (16 words + len + id) = 126 of 128 lanes
+LONG_BUCKET_WIDTH = 128
 MISS = np.uint32(0xFFFFFFFF)
 
 
@@ -96,6 +98,135 @@ def build_vocab_table(mergeable_ranks: dict[bytes, int]) -> VocabTable:
     # len == 0 marks an empty slot; real entries have len >= 2, and query
     # pieces have len >= 1, so empty slots can never match.
     return VocabTable(buckets=buckets, n_buckets=n_buckets, seed=seed, n_short=n)
+
+
+@dataclass
+class LongVocabTable:
+    """Whole-piece hits for 17..64-byte tokens.
+
+    The reference's hot loop short-circuits on ANY whole-piece vocabulary
+    hit regardless of length (reference: src/lib.rs:367-369) — that is
+    semantics, not just caching: for an adversarial vocabulary, BPE of a
+    vocab token's bytes need not reproduce the token. The short table
+    (VocabTable) covers <= 16-byte keys; this one covers the long-slot
+    range, so the device path matches the reference for every piece it
+    handles. Bucket row = 128 uint32 lanes = 7 slots of
+    (16 packed words, len, id); len == 0 marks empty (real entries have
+    len >= 17)."""
+
+    buckets: np.ndarray  # [n_buckets, 128] uint32
+    n_buckets: int
+    seed: int
+    n_long: int  # tokens with SLOT < len <= LONG_SLOT
+
+
+def _mix_words16(words: np.ndarray, length, seed: int):
+    """uint32 hash of (16 packed words, len); numpy/jax polymorphic.
+    Mixes every word so adversarial keys differing only in their tail
+    still spread."""
+    h = (words[..., 0] ^ np.uint32(seed)) * np.uint32(0x9E3779B1)
+    for i in range(1, 16):
+        h = (h ^ words[..., i]) * np.uint32(0x85EBCA77)
+        h = h ^ (h >> np.uint32(13))
+    h = (h ^ length.astype(np.uint32)) * np.uint32(0xC2B2AE3D)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def pack_token_long(token: bytes) -> np.ndarray:
+    padded = token + b"\0" * (LONG_SLOT - len(token))
+    return np.frombuffer(padded, dtype=np.uint32).copy()
+
+
+def build_long_vocab_table(mergeable_ranks: dict[bytes, int]) -> LongVocabTable:
+    toks = [(t, r) for t, r in mergeable_ranks.items() if SLOT < len(t) <= LONG_SLOT]
+    n = len(toks)
+    n_buckets = 1
+    while n_buckets < max(8, n):
+        n_buckets *= 2
+    words = (
+        np.stack([pack_token_long(t) for t, _ in toks])
+        if n
+        else np.zeros((0, 16), np.uint32)
+    )
+    lens = np.asarray([len(t) for t, _ in toks], dtype=np.uint32)
+    ids = np.asarray([r for _, r in toks], dtype=np.uint32)
+
+    for attempt in range(64):
+        seed = 0xBEEF0000 + attempt
+        h = (_mix_words16(words, lens, seed) & np.uint32(n_buckets - 1)).astype(
+            np.int64
+        )
+        counts = np.bincount(h, minlength=n_buckets)
+        if counts.max(initial=0) <= LONG_BUCKET_SLOTS:
+            break
+    else:
+        raise RuntimeError("could not bucket long vocab table without overflow")
+
+    buckets = np.zeros((n_buckets, LONG_BUCKET_WIDTH), dtype=np.uint32)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = hs[1:] != hs[:-1]
+    run_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    slot = np.arange(n) - run_start
+    cols = slot * 18
+    for i in range(16):
+        buckets[hs, cols + i] = words[order, i]
+    buckets[hs, cols + 16] = lens[order]
+    buckets[hs, cols + 17] = ids[order]
+    return LongVocabTable(buckets=buckets, n_buckets=n_buckets, seed=seed, n_long=n)
+
+
+def long_vocab_hit_numpy(table: LongVocabTable, slot_bytes: np.ndarray, lens: np.ndarray):
+    """slot_bytes [M, 64] u8 zero-padded past len -> hit id or MISS."""
+    words = slot_bytes.reshape(-1, 16, 4).astype(np.uint32)
+    words = (
+        words[:, :, 0]
+        | (words[:, :, 1] << 8)
+        | (words[:, :, 2] << 16)
+        | (words[:, :, 3] << 24)
+    )
+    l = lens.astype(np.uint32)
+    h = (_mix_words16(words, l, table.seed) & np.uint32(table.n_buckets - 1)).astype(
+        np.int64
+    )
+    rows = table.buckets[h]
+    out = np.full(len(lens), MISS, dtype=np.uint32)
+    for s in range(LONG_BUCKET_SLOTS):
+        c = 18 * s
+        hit = (rows[:, c + 16] == l) & (l > SLOT)
+        for i in range(16):
+            hit &= rows[:, c + i] == words[:, i]
+        out = np.where(hit & (out == MISS), rows[:, c + 17], out)
+    return out
+
+
+def make_long_vocab_hit_fn(seed: int, n_buckets: int):
+    """jit-able: (buckets [nb,128] u32, slot_bytes [M,64] u8, lens [M] i32)
+    -> hit ids [M] u32 (MISS if none; only SLOT < len <= LONG_SLOT can hit)."""
+    import jax
+    import jax.numpy as jnp
+
+    mask = np.uint32(n_buckets - 1)
+
+    def hit_fn(buckets, slot_bytes, lens):
+        words = jax.lax.bitcast_convert_type(
+            slot_bytes.reshape(-1, 16, 4), jnp.uint32
+        )  # [M, 16] little-endian
+        l = lens.astype(jnp.uint32)
+        h = (_mix_words16(words, l, seed) & mask).astype(jnp.int32)
+        rows = buckets[h]  # [M, 128] one row gather
+        out = jnp.full(words.shape[0], MISS, dtype=jnp.uint32)
+        for s in range(LONG_BUCKET_SLOTS):
+            c = 18 * s
+            ok = (rows[:, c + 16] == l) & (l > SLOT)
+            for i in range(16):
+                ok &= rows[:, c + i] == words[:, i]
+            out = jnp.where(ok, rows[:, c + 17], out)
+        return out
+
+    return hit_fn
 
 
 # ---------------------------------------------------------------------------

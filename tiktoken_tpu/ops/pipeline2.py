@@ -32,6 +32,7 @@ from tiktoken_tpu.ops.pieces import (
     SLOT,
     make_catalog_fn,
     make_extract_fn,
+    make_long_vocab_hit_fn,
     make_vocab_hit_fn,
 )
 from tiktoken_tpu.ops.slot_merge import make_slot_merge_fn
@@ -46,6 +47,8 @@ def build_pipeline2_fn(
     pair_buckets: int,
     vocab_seed: int,
     vocab_buckets: int,
+    long_seed: int,
+    long_buckets: int,
     B: int,
     pack24: bool = False,
     char_tables=None,
@@ -92,6 +95,7 @@ def build_pipeline2_fn(
     catalog_fn = make_catalog_fn(B, K, p_cap)
     extract_fn = make_extract_fn(B, K, p_cap)
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
+    long_hit_fn = make_long_vocab_hit_fn(long_seed, long_buckets)
     merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT)
     merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT)
 
@@ -119,6 +123,7 @@ def build_pipeline2_fn(
         scan_tables, pair_rows, byte_to_rank, vocab_rows,
         rows, n_payload, n_total,
     ):
+        vocab_rows, vocab_long_rows = vocab_rows
         if char_tables is not None:
             page_planes, mixed_t = scan_tables
             cls = classes_fn(page_planes, mixed_t, rows, n_total)
@@ -178,7 +183,16 @@ def build_pipeline2_fn(
         l_bytes = extract_long(rows[:, :K], starts[l_idx],
                                jnp.where(l_real, lens[l_idx], 0))
         l_lens = jnp.where(l_real, lens[l_idx], 0)
-        l_tok, l_alive, _r2 = merge64(pair_rows, byte_to_rank, l_bytes, l_lens)
+        # 17..64-byte whole-piece hits bypass the merge (reference
+        # vocab-as-cache semantics, src/lib.rs:367-369)
+        l_hit = long_hit_fn(vocab_long_rows, l_bytes, l_lens)
+        l_is_hit = l_hit != MISS
+        l_tok, l_alive, _r2 = merge64(
+            pair_rows, byte_to_rank, l_bytes, jnp.where(l_is_hit, 0, l_lens)
+        )
+        lane0 = jnp.arange(LONG_SLOT, dtype=jnp.int32)[None, :] == 0
+        l_tok = jnp.where(lane0 & l_is_hit[:, None], l_hit[:, None], l_tok)
+        l_alive = l_alive | (lane0 & l_is_hit[:, None])
         l_alive = l_alive & l_real[:, None]
 
         # ---- per-piece token counts ---------------------------------------

@@ -38,6 +38,7 @@ from tiktoken_tpu.ops.pieces import (
     LONG_SLOT,
     MISS,
     SLOT,
+    make_long_vocab_hit_fn,
     make_vocab_hit_fn,
 )
 from tiktoken_tpu.ops.slot_merge import make_slot_merge_fn
@@ -193,6 +194,8 @@ def build_pipeline3_fn(
     pair_buckets: int,
     vocab_seed: int,
     vocab_buckets: int,
+    long_seed: int,
+    long_buckets: int,
     pack24: bool = False,
     worst_case: bool = False,
     stage_stop: str | None = None,
@@ -202,7 +205,7 @@ def build_pipeline3_fn(
 
     Signature:
         (scan_tables (page_planes, mixed_t), pair_rows, byte_to_rank,
-         vocab_rows,
+         vocab_rows (short_buckets, long_buckets),
          flat [flat_size] u8, row_off [C] i32, n_payload [C] i32,
          n_total [C] i32, is_doc_end [C] bool, prev_same_doc [C] bool,
          emit [C] bool)
@@ -240,6 +243,7 @@ def build_pipeline3_fn(
     # shallow ones keep XLA:CPU compiles fast (sweep_scan.resolve_unroll)
     scan_fn = make_char_scan_fn(char_tables, KL, KP, handshake=True)
     hit_fn = make_vocab_hit_fn(vocab_seed, vocab_buckets)
+    long_hit_fn = make_long_vocab_hit_fn(long_seed, long_buckets)
     merge16 = make_slot_merge_fn(pair_seed, pair_buckets, SLOT, unroll=8)
     merge64 = make_slot_merge_fn(pair_seed, pair_buckets, LONG_SLOT, unroll=16)
     eof_cls = char_tables.eof_class
@@ -321,6 +325,7 @@ def build_pipeline3_fn(
         flat, row_off, n_payload, n_total, is_doc_end, prev_same_doc, emit,
     ):
         page_planes, mixed_t = scan_tables
+        vocab_rows, vocab_long_rows = vocab_rows
         rows = row_gather(flat, row_off)  # [C, KL] u8
 
         cls = classes_fn(page_planes, mixed_t, rows, n_total)
@@ -451,11 +456,22 @@ def build_pipeline3_fn(
         l_real = jnp.arange(l_cap, dtype=jnp.int32) < n_long
         l_lens = jnp.where(l_real, l_lens_c, 0)
         l_bytes = extract_long(rows, l_starts, l_lens)
+        # whole-piece hits for 17..64-byte tokens skip the merge loop
+        # entirely — reference vocab-as-cache semantics at every length
+        # the device handles (reference: src/lib.rs:367-369)
+        l_hit = long_hit_fn(vocab_long_rows, l_bytes, l_lens)
+        l_is_hit = l_hit != MISS
         if stage_stop == "nomerge":
             l_tok = jnp.zeros((l_cap, LONG_SLOT), jnp.uint32)
             l_alive = jnp.zeros((l_cap, LONG_SLOT), bool).at[:, 0].set(l_real)
         else:
-            l_tok, l_alive, _r2 = merge64(pair_rows, byte_to_rank, l_bytes, l_lens)
+            l_tok, l_alive, _r2 = merge64(
+                pair_rows, byte_to_rank, l_bytes,
+                jnp.where(l_is_hit, 0, l_lens),
+            )
+            lane0 = jnp.arange(LONG_SLOT, dtype=jnp.int32)[None, :] == 0
+            l_tok = jnp.where(lane0 & l_is_hit[:, None], l_hit[:, None], l_tok)
+            l_alive = l_alive | (lane0 & l_is_hit[:, None])
         l_alive = l_alive & l_real[:, None]
         l_counts = jnp.sum(l_alive.astype(jnp.int32), axis=1)
         (l_tok_p,), _ = compact(l_alive, [l_tok], LONG_SLOT)

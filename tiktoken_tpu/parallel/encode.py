@@ -273,6 +273,8 @@ class ShardedEngine:
             pair_buckets=self.engine.pair_table.n_buckets,
             vocab_seed=self.engine.vocab_table.seed,
             vocab_buckets=self.engine.vocab_table.n_buckets,
+            long_seed=self.engine.long_vocab_table.seed,
+            long_buckets=self.engine.long_vocab_table.n_buckets,
             pack24=self.engine.pack24,
         )
         rep = P()
