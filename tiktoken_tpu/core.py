@@ -88,6 +88,14 @@ class Encoding:
             )
         return self._device_engine
 
+    def warmup(self, **kwargs) -> None:
+        """Pre-compile the device pipeline at its canonical geometry.
+
+        First compiles take minutes on the target backend; deployments
+        call this once at startup so ``encode_corpus`` never compiles on
+        the request path. See ``DeviceEngine.warmup`` for knobs."""
+        self.device_engine.warmup(**kwargs)
+
 
     def _resolve_specials(
         self,

@@ -42,6 +42,21 @@ LOOK = 16  # true continuation bytes per row
 DEFAULT_ROW = 256  # payload bytes per row (short rows: scan iterations ~ row length)
 DEFAULT_CHUNK_ROWS = 8192  # rows per device dispatch (one compiled shape)
 
+# Compiled-shape budget: chunk sizes quantize to these tiers instead of
+# any next-pow2 of the corpus size, so a process compiles at most
+# len(_CHUNK_TIERS) geometries per (K, worst_case) — first compiles cost
+# 3-7 minutes on the target backend with no persistent cache
+# (HARDWARE.md), making unbounded shape counts a production hazard.
+_CHUNK_TIERS = (8, 128, 2048, DEFAULT_CHUNK_ROWS)
+
+
+def quantize_chunk_rows(need: int, cap: int) -> int:
+    """Smallest tier >= need, capped (cap itself if it's non-standard)."""
+    for t in _CHUNK_TIERS:
+        if t >= min(need, cap):
+            return min(t, cap)
+    return cap
+
 
 def _find_safe_splits(data: np.ndarray) -> np.ndarray:
     """Offsets guaranteed to start a piece in any context, for all shipped
@@ -392,7 +407,7 @@ class DeviceEngine:
 
         B, KL = batch.rows.shape
         tables = self._tables2()
-        C = min(chunk_rows, 1 << (B - 1).bit_length())
+        C = quantize_chunk_rows(B, chunk_rows)
         fn = self._pipeline2(C, KL)
         pending = []  # (flat_dev, header_dev, real_rows, lo)
         for lo in range(0, B, C):
@@ -502,8 +517,8 @@ class DeviceEngine:
                 np.zeros(0, np.int32),
                 np.zeros(0, bool),
             )
-        # next-pow2 chunk (capped): few compiled shapes, small-batch friendly
-        C = min(chunk_rows, 1 << (B - 1).bit_length())
+        # tier-quantized chunk: few compiled shapes, small-batch friendly
+        C = quantize_chunk_rows(B, chunk_rows)
         fn = self._pipeline(C, KL)
         outs = []
         for lo in range(0, B, C):
@@ -562,6 +577,35 @@ class DeviceEngine:
             self._jitted2[key] = fn
         return fn
 
+    def warmup(self, K: int | None = None, chunk_rows: int = DEFAULT_CHUNK_ROWS,
+               worst_case: bool = False) -> None:
+        """Compile the canonical v3 geometry ahead of first use.
+
+        First compiles cost minutes on the target backend (HARDWARE.md)
+        and there is no persistent executable cache, so latency-sensitive
+        deployments call this once at startup — encode calls then only
+        ever hit compiled programs (as long as corpora use the same
+        K/chunk tier). ``worst_case=True`` additionally pre-compiles the
+        cap-overflow retry variant."""
+        from tiktoken_tpu.ops.pipeline3 import K_DEFAULT, row_geometry
+
+        K = min(K or K_DEFAULT, 256)
+        C = quantize_chunk_rows(chunk_rows, chunk_rows)
+        KP, KL = row_geometry(K)
+        S = -(-(C * KP + KL + 8) // 128) * 128
+        tables = self._tables2()
+        i32 = np.zeros((C,), np.int32)
+        b1 = np.zeros((C,), bool)
+        chunk = (np.zeros((S,), np.uint8), i32, i32, i32, b1, b1, b1)
+        for wc in ((False, True) if worst_case else (False,)):
+            # execute on an all-empty chunk: populates the jit cache for
+            # the canonical signature with one cheap device step
+            out = self._pipeline3(C, K, worst_case=wc)(
+                tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+                tables["vocab"], *chunk,
+            )
+            np.asarray(out[1])  # block until the executable really ran
+
     def _dispatch_chunks3(self, pc, chunk_rows: int):
         """Dispatch handshake chunks (slot 0 of each chunk is a ghost of
         the previous chunk's last row — it re-provides its handoff
@@ -575,9 +619,9 @@ class DeviceEngine:
         B = pc.row_off.shape[0]
         K = pc.K
         KP, KL = row_geometry(K)
-        # next-pow2 chunk sizing (capped): small corpora compile small
-        # programs instead of padding to the full chunk shape
-        chunk_rows = min(chunk_rows, 1 << max(1, B.bit_length()))
+        # tier-quantized chunk sizing: small corpora compile small
+        # programs, but the set of compiled shapes stays bounded
+        chunk_rows = quantize_chunk_rows(B + 1, chunk_rows)
         R = max(1, chunk_rows - 1)  # real rows per chunk
         C = R + 1
         S = -(-(C * KP + KL + 8) // 128) * 128
@@ -643,6 +687,15 @@ class DeviceEngine:
 
         # K is a packing-granularity hint; the compiled scan's cost grows
         # superlinearly with the row buffer, so large requests are capped
+        # — loudly, since the caller asked for a specific geometry
+        if K and K > 256:
+            import warnings
+
+            warnings.warn(
+                f"row_capacity={K} capped to 256 on the device pipeline "
+                "(scan cost grows superlinearly with row length)",
+                stacklevel=3,
+            )
         K = min(K or K_DEFAULT, 256)
         docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
         out: list = [[] for _ in docs]

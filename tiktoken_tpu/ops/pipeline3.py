@@ -349,25 +349,64 @@ def build_pipeline3_fn(
         colsKP = jnp.arange(KP, dtype=jnp.int32)[None, :]
         mask3 = mask & (colsKP >= g[:, None]) & emit[:, None]
 
-        # ---- catalog: butterfly-compact piece starts ----------------------
+        # ---- catalog + extract: ONE monotone route ------------------------
+        # Each grid position carries a sliding 16-byte word view (W0, W4,
+        # W8, W12: the 4 packed little-endian words starting at that
+        # byte — pure shifts of the row word stream) plus its packed
+        # (row, col, row-end) metadata; compacting the piece-START
+        # positions therefore yields every piece's slot words AND its
+        # catalog entry in a single log-depth pass. This replaces the v3.0
+        # three-route chain (catalog compact, dense byte compact, byte
+        # arena route over p_cap*SLOT elements) whose round-traffic
+        # dominated the measured stage costs (docs/ROADMAP.md).
+        assert C <= (1 << 14) and KL < (1 << 9), "meta packing bounds"
+        NW_R = (KL + 3) // 4
+        rows_p = rows
+        if NW_R * 4 != KL:
+            rows_p = jnp.concatenate(
+                [rows, jnp.zeros((C, NW_R * 4 - KL), jnp.uint8)], axis=1
+            )
+        rwords = jax.lax.bitcast_convert_type(
+            rows_p.reshape(C, NW_R, 4), jnp.uint32
+        )  # [C, NW_R]
+        rnext = jnp.concatenate(
+            [rwords[:, 1:], jnp.zeros((C, 1), jnp.uint32)], axis=1
+        )
+        # byte-granular word view: variants[r][c, w] = word starting at
+        # byte 4w+r; interleave -> [C, KL] (word starting at every byte)
+        variants = [rwords] + [
+            (rwords >> jnp.uint32(8 * r)) | (rnext << jnp.uint32(32 - 8 * r))
+            for r in (1, 2, 3)
+        ]
+        Wgrid = jnp.stack(variants, axis=2).reshape(C, NW_R * 4)[:, :KL]
+
+        def wshift(k):
+            return jnp.concatenate(
+                [Wgrid[:, k:], jnp.zeros((C, k), jnp.uint32)], axis=1
+            ).reshape(-1)
+
         rows_i = jnp.arange(C, dtype=jnp.int32)
         colsKL = jnp.arange(KL, dtype=jnp.int32)[None, :]
-        pos_grid = rows_i[:, None] * KL + colsKL  # [C, KL] row-grid coords
-        row_end_flat = rows_i * KL + spec_f
+        meta = (
+            (rows_i[:, None].astype(jnp.uint32) << 18)
+            | (colsKL.astype(jnp.uint32) << 9)
+            | spec_f[:, None].astype(jnp.uint32)
+        )
         mask3x = jnp.concatenate(
             [mask3, jnp.zeros((C, KL - KP), bool)], axis=1
         )  # [C, KL]
-        (starts, prow, pend), n_pieces = compact(
+        (c_meta, sw0, sw1, sw2, sw3), n_pieces = compact(
             mask3x.reshape(-1),
-            [
-                pos_grid.reshape(-1),
-                jnp.broadcast_to(rows_i[:, None], (C, KL)).reshape(-1),
-                jnp.broadcast_to(row_end_flat[:, None], (C, KL)).reshape(-1),
-            ],
+            [meta.reshape(-1), Wgrid.reshape(-1), wshift(4), wshift(8),
+             wshift(12)],
             p_cap,
         )
         overflow = n_pieces > p_cap
         live = jnp.arange(p_cap, dtype=jnp.int32) < n_pieces
+        prow = (c_meta >> 18).astype(jnp.int32)
+        start_lo = ((c_meta >> 9) & 511).astype(jnp.int32)
+        starts = prow * KL + start_lo
+        pend = prow * KL + (c_meta & 511).astype(jnp.int32)  # row end = spec_f
         nxt = jnp.concatenate([starts[1:], jnp.zeros((1,), starts.dtype)])
         nxt_row = jnp.concatenate([prow[1:], jnp.full((1,), -1, prow.dtype)])
         ends = jnp.where((nxt_row == prow) & live, nxt, pend)
@@ -382,39 +421,20 @@ def build_pipeline3_fn(
             .max(too_long)
         )
 
-        # ---- extract: two monotone routes, byte grid -> 16B slots ---------
-        pid_grid = jnp.cumsum(mask3x.astype(jnp.int32).reshape(-1)) - 1
-        start_grid = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(mask3x, pos_grid, -1), axis=1
-        ).reshape(-1)
-        posf = pos_grid.reshape(-1)
-        j = posf - start_grid
-        endf = jnp.broadcast_to(row_end_flat[:, None], (C, KL)).reshape(-1)
-        route_valid = (
-            (start_grid >= 0)
-            & (j < SLOT)
-            & (posf < endf)
-            & (pid_grid >= 0)
-            & (pid_grid < p_cap)
-        )
-        (dense_b, dense_pid, dense_j), _nd = compact(
-            route_valid,
-            [rows.reshape(-1).astype(jnp.int32), pid_grid, j],
-            NX,
-        )
-        # dense -> slot arena: dst = pid*16 + j is monotone because the
-        # dense stream capped every piece at 16 bytes
-        dense_dst = jnp.where(
-            jnp.arange(NX, dtype=jnp.int32) < _nd, dense_pid * SLOT + dense_j, -1
-        )
-        arena = route_right(dense_dst, dense_b, p_cap * SLOT)
-        slot_bytes = arena.astype(jnp.uint8).reshape(p_cap, SLOT)
+        # canonical zero-padding past len (same mask as pieces.extract)
         lens16 = jnp.clip(lens, 0, SLOT)
-        lane16 = jnp.arange(SLOT, dtype=jnp.int32)[None, :]
-        slot_bytes = jnp.where(lane16 < lens16[:, None], slot_bytes, 0)
-        words = jax.lax.bitcast_convert_type(
-            slot_bytes.reshape(p_cap, 4, 4), jnp.uint32
-        ).reshape(p_cap, 4)
+        words = jnp.stack([sw0, sw1, sw2, sw3], axis=1)  # [p_cap, 4]
+        byte_idx = jnp.arange(4, dtype=jnp.int32)[None, :]
+        nbytes = jnp.clip(lens16[:, None] - byte_idx * 4, 0, 4)
+        wmask = jnp.where(
+            nbytes >= 4,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (nbytes.astype(jnp.uint32) << 3)) - 1,
+        )
+        words = words & wmask
+        slot_bytes = jax.lax.bitcast_convert_type(
+            words[:, :, None], jnp.uint8
+        ).reshape(p_cap, SLOT)
 
         hit = hit_fn(vocab_rows, words, jnp.where(lens <= SLOT, lens, 0))
         if stage_stop == "hit":  # profiling bisect point
@@ -429,14 +449,16 @@ def build_pipeline3_fn(
         piece_idx = jnp.arange(p_cap, dtype=jnp.int32)
         m_cols, n_miss = compact(
             is_short_miss,
-            [slot_bytes[:, i] for i in range(SLOT)] + [lens, piece_idx],
+            [words[:, i] for i in range(4)] + [lens, piece_idx],
             m_cap,
         )
         m_overflow = n_miss > m_cap
         m_real = jnp.arange(m_cap, dtype=jnp.int32) < n_miss
-        m_bytes = jnp.stack(m_cols[:SLOT], axis=1).astype(jnp.uint8)
-        m_lens = jnp.where(m_real, m_cols[SLOT], 0)
-        m_pid = m_cols[SLOT + 1]
+        m_bytes = jax.lax.bitcast_convert_type(
+            jnp.stack(m_cols[:4], axis=1)[:, :, None], jnp.uint8
+        ).reshape(m_cap, SLOT)
+        m_lens = jnp.where(m_real, m_cols[4], 0)
+        m_pid = m_cols[5]
         if stage_stop == "nomerge":  # profiling bisect: skip both merges
             m_tok = jnp.zeros((m_cap, SLOT), jnp.uint32)
             m_alive = jnp.zeros((m_cap, SLOT), bool).at[:, 0].set(m_real)

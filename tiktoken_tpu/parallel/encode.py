@@ -318,6 +318,14 @@ class ShardedEngine:
             row_geometry,
         )
 
+        if K and K > 256:
+            import warnings
+
+            warnings.warn(
+                f"row_capacity={K} capped to 256 on the device pipeline "
+                "(scan cost grows superlinearly with row length)",
+                stacklevel=3,
+            )
         K = min(K or K_DEFAULT, 256)  # packing hint; large K compiles poorly
         docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
         out: list[list[int]] = [[] for _ in docs]
@@ -327,7 +335,9 @@ class ShardedEngine:
             return out
         n_dev = self.n_devices
         per_dev = -(-B // n_dev)
-        chunk_rows = min(chunk_rows, 1 << max(1, per_dev.bit_length()))
+        from tiktoken_tpu.ops.engine import quantize_chunk_rows
+
+        chunk_rows = quantize_chunk_rows(per_dev + 1, chunk_rows)
         R = max(1, chunk_rows - 1)
         C = R + 1
         KP, KL = row_geometry(K)
@@ -402,6 +412,32 @@ class ShardedEngine:
             for d_i in fallback_docs:
                 out[d_i] = host_fallback.encode_ordinary(docs[d_i].decode("utf-8"))
         return out
+
+    def warmup(self, K: int | None = None, chunk_rows: int = 1024) -> None:
+        """Pre-compile the sharded v3 program at its canonical geometry
+        (one empty chunk per device). Mirrors DeviceEngine.warmup."""
+        import jax
+        import numpy as np
+
+        from tiktoken_tpu.ops.engine import quantize_chunk_rows
+        from tiktoken_tpu.ops.pipeline3 import K_DEFAULT, row_geometry
+
+        K = min(K or K_DEFAULT, 256)
+        C = quantize_chunk_rows(chunk_rows, chunk_rows)
+        KP, KL = row_geometry(K)
+        S = -(-(C * KP + KL + 8) // 128) * 128
+        fn = self._program3(C, K)
+        tables = self._tables2()
+        n = self.n_devices
+        shard = batch_sharded(self.mesh, self.axis, rank=2)
+        i32 = np.zeros((n, C), np.int32)
+        b1 = np.zeros((n, C), bool)
+        chunk = (np.zeros((n, S), np.uint8), i32, i32, i32, b1, b1, b1)
+        out = fn(
+            tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+            tables["vocab"], *(jax.device_put(c, shard) for c in chunk),
+        )
+        np.asarray(out[1])
 
     # -- public ---------------------------------------------------------
 
