@@ -92,19 +92,19 @@ def main():
 
     @jax.jit
     def stage_classes(rows, n_total):
-        cls = classes_fn(pp, mt, rows, n_total)
+        cls, _na = classes_fn(pp, mt, rows, n_total)
         return cls.astype(jnp.int32).sum()
 
     @jax.jit
     def stage_scan(rows, n_payload, n_total):
-        cls = classes_fn(pp, mt, rows, n_total)
+        cls, _na = classes_fn(pp, mt, rows, n_total)
         cls_ext = jnp.concatenate([cls, jnp.full((B, 1), eofc, cls.dtype)], axis=1)
         ps, bad = char_scan(cls_ext, n_payload, n_total)
         return ps.sum(), bad.sum()
 
     @jax.jit
     def stage_catalog(rows, n_payload, n_total):
-        cls = classes_fn(pp, mt, rows, n_total)
+        cls, _na = classes_fn(pp, mt, rows, n_total)
         cls_ext = jnp.concatenate([cls, jnp.full((B, 1), eofc, cls.dtype)], axis=1)
         ps, bad = char_scan(cls_ext, n_payload, n_total)
         starts, lens, n_pieces, _pid = catalog(ps, n_payload)
@@ -112,7 +112,7 @@ def main():
 
     @jax.jit
     def stage_hit(rows, n_payload, n_total):
-        cls = classes_fn(pp, mt, rows, n_total)
+        cls, _na = classes_fn(pp, mt, rows, n_total)
         cls_ext = jnp.concatenate([cls, jnp.full((B, 1), eofc, cls.dtype)], axis=1)
         ps, bad = char_scan(cls_ext, n_payload, n_total)
         starts, lens, n_pieces, _pid = catalog(ps, n_payload)
@@ -231,7 +231,7 @@ def profile_tail():
     pp, mt = tables["scan2"]
 
     def prefix(rows, n_payload, n_total):
-        cls = classes_fn(pp, mt, rows, n_total)
+        cls, _na = classes_fn(pp, mt, rows, n_total)
         cls_ext = jnp.concatenate([cls, jnp.full((B, 1), eofc, cls.dtype)], axis=1)
         ps, bad = char_scan(cls_ext, n_payload, n_total)
         starts, lens, n_pieces, _pid = catalog(ps, n_payload)

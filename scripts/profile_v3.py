@@ -109,13 +109,13 @@ def main():
     @jax.jit
     def s_classes(flat, off, pay, tot, dend, prev, emit):
         rows = row_gather(flat, off)
-        cls = classes_fn(pp, mt, rows, tot)
+        cls, _na = classes_fn(pp, mt, rows, tot)
         return cls.sum()
 
     @jax.jit
     def s_scan(flat, off, pay, tot, dend, prev, emit):
         rows = row_gather(flat, off)
-        cls = classes_fn(pp, mt, rows, tot)
+        cls, _na = classes_fn(pp, mt, rows, tot)
         cls_ext = jnp.concatenate([cls, jnp.full((C, 1), eofc, cls.dtype)], 1)
         mask, f, bad = scan_fn(cls_ext, pay, tot, dend)
         return mask.sum(), f.sum(), bad.sum()
@@ -125,7 +125,7 @@ def main():
     @jax.jit
     def s_catalog(flat, off, pay, tot, dend, prev, emit):
         rows = row_gather(flat, off)
-        cls = classes_fn(pp, mt, rows, tot)
+        cls, _na = classes_fn(pp, mt, rows, tot)
         cls_ext = jnp.concatenate([cls, jnp.full((C, 1), eofc, cls.dtype)], 1)
         mask, f, bad = scan_fn(cls_ext, pay, tot, dend)
         mask3 = mask & emit[:, None]

@@ -95,7 +95,8 @@ def test_byte_classes_jax_matches_numpy(pat_name):
     import jax.numpy as jnp
 
     dfa, tables = _char_tables(pat_name)
-    fn = make_byte_classes_fn(tables)
+    # na_frac=2 is the exact-everywhere variant (worst-case retry caps)
+    fn = make_byte_classes_fn(tables, na_frac=2)
     prep = prepare_device_tables(tables)
     pp = jnp.asarray(prep["page_planes"])
     mt = jnp.asarray(prep["mixed_t"])
@@ -117,11 +118,51 @@ def test_byte_classes_jax_matches_numpy(pat_name):
     totals.append(L)
     want.append(byte_classes_numpy(tables, row, L))
 
-    got = np.asarray(
-        fn(pp, mt, jnp.asarray(np.stack(rows)), jnp.asarray(np.asarray(totals, np.int32)))
+    got, overflow = fn(
+        pp, mt, jnp.asarray(np.stack(rows)), jnp.asarray(np.asarray(totals, np.int32))
     )
+    assert not bool(overflow), "na_frac=2 must never overflow"
+    got = np.asarray(got)
     for i in range(len(rows)):
         np.testing.assert_array_equal(got[i], want[i], err_msg=f"row {i}")
+
+
+def test_byte_classes_na_overflow_flags_dense_rows():
+    """The common-case variant (na_frac=8) must FLAG rows denser in
+    non-ASCII char-ends than its cap (the caller then retries through
+    the worst-case variant), and must stay exact when under the cap."""
+    from tiktoken_tpu.ops.charclass import (
+        byte_classes_numpy,
+        make_byte_classes_fn,
+        prepare_device_tables,
+    )
+
+    import jax.numpy as jnp
+
+    dfa, tables = _char_tables("o200k")
+    fn = make_byte_classes_fn(tables, na_frac=8)
+    prep = prepare_device_tables(tables)
+    pp = jnp.asarray(prep["page_planes"])
+    mt = jnp.asarray(prep["mixed_t"])
+
+    L = 96
+    cjk = ("東京タワー" * 20).encode()[:L]  # 1 char-end per 3 bytes > L/8 cap
+    ascii_row = (b"hello world, plain ascii text! " * 4)[:L]
+    rows = np.stack([
+        np.frombuffer(cjk, np.uint8),
+        np.frombuffer(ascii_row, np.uint8),
+    ])
+    totals = jnp.asarray(np.asarray([L, L], np.int32))
+    got, overflow = fn(pp, mt, jnp.asarray(rows), totals)
+    assert bool(overflow), "dense CJK row must set na_overflow"
+
+    got2, overflow2 = fn(
+        pp, mt, jnp.asarray(rows[1:]), jnp.asarray(np.asarray([L], np.int32))
+    )
+    assert not bool(overflow2)
+    np.testing.assert_array_equal(
+        np.asarray(got2)[0], byte_classes_numpy(tables, rows[1], L)
+    )
 
 
 def _classes_ext_for_row(tables, row, n_total):

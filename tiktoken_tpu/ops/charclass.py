@@ -212,11 +212,31 @@ def prepare_device_tables(tables: CharClassTables):
     )
 
 
-def make_byte_classes_fn(tables: CharClassTables):
+def make_byte_classes_fn(tables: CharClassTables, *, na_frac: int = 8):
     """jit-able: (page_planes, mixed_t, rows [B, L] u8, n_total [B] i32)
-    -> classes [B, L] int32 (char class at char ends, SKIP, EOF)."""
+    -> (classes [B, L] int32, na_overflow bool scalar).
+
+    Round-3 design (the v2 one-hot matmuls computed [N, 2*n_hi] and
+    [N, n_mixed] intermediates — gigabytes of traffic per chunk, the
+    single largest stage cost):
+
+    - ASCII positions (the bulk of most corpora) take a pure bit-math
+      path: class < 32, so 5 bitplanes of the 128-entry ASCII class
+      table are compile-time u32 constants and each bit is a 4-way
+      select + shift. No tables touched.
+    - Non-ASCII char-end positions are compacted PER ROW (log2(L)
+      radix rounds along the row axis) into an [B, L/na_frac] domain,
+      the two-level page/mixed one-hot matmuls run on that small
+      domain, and the classes scatter back at non-ASCII rate.
+    - A chunk with more non-ASCII char-ends per row than the cap
+      reports ``na_overflow``; callers re-dispatch through their
+      worst-case variant (na_frac=2 — 2-byte chars bound char-end
+      density at 1/2, so that variant cannot overflow).
+    """
     import jax.numpy as jnp
     from jax import lax
+
+    from tiktoken_tpu.ops.compaction import compact
 
     prep = prepare_device_tables(tables)
     n_hi = prep["n_hi"]
@@ -225,7 +245,55 @@ def make_byte_classes_fn(tables: CharClassTables):
     CONT = tables.cont_class
     EOF = tables.eof_class
 
+    # 128-entry ASCII class table as compile-time bitplane constants
+    ascii_tbl = [class_of_cp_tables(tables, c) for c in range(128)]
+    n_bits = max(int(v).bit_length() for v in ascii_tbl) or 1
+    plane_words = []  # [n_bits][4] u32
+    for p in range(n_bits):
+        ws = [0, 0, 0, 0]
+        for c, v in enumerate(ascii_tbl):
+            ws[c >> 5] |= ((v >> p) & 1) << (c & 31)
+        plane_words.append([np.uint32(w) for w in ws])
+
+    def lookup_cp(cp):
+        """Two-level page/mixed one-hot lookup (exact int8 matmuls);
+        domain is whatever shape ``cp`` has."""
+        shape = cp.shape
+        page = cp >> PAGE_BITS
+        hi = page >> 7
+        lo = page & 127
+        oh_lo = (lo[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.int8)
+        planes = lax.dot_general(
+            oh_lo.reshape(-1, 128), _page_planes[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(shape + (n_hi, 2))
+        oh_hi = (hi[..., None] == jnp.arange(n_hi, dtype=jnp.int32)).astype(jnp.int32)
+        entry_lo = jnp.sum(planes[..., 0] * oh_hi, axis=-1)
+        entry_hi = jnp.sum(planes[..., 1] * oh_hi, axis=-1)
+        entry = entry_lo | (entry_hi << 7)
+
+        is_mixed = (entry & MIXED_FLAG) != 0
+        mixed_idx = jnp.where(is_mixed, entry & (MIXED_FLAG - 1), 0)
+
+        cpl = cp & ((1 << PAGE_BITS) - 1)
+        oh_cpl = (cpl[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.int8)
+        mrows = lax.dot_general(
+            oh_cpl.reshape(-1, 128), _page_planes[1],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(shape + (n_mixed,))
+        oh_m = (mixed_idx[..., None] == jnp.arange(n_mixed, dtype=jnp.int32)).astype(
+            jnp.int32
+        )
+        mixed_cls = jnp.sum(mrows * oh_m, axis=-1)
+        return jnp.where(is_mixed, mixed_cls, entry)
+
+    _page_planes = [None, None]  # bound per call below
+
     def fn(page_planes, mixed_t, rows, n_total):
+        _page_planes[0] = page_planes
+        _page_planes[1] = mixed_t
         B, L = rows.shape
         b = rows.astype(jnp.int32)
         z = jnp.zeros((B, 1), jnp.int32)
@@ -254,54 +322,58 @@ def make_byte_classes_fn(tables: CharClassTables):
         )
         char_end = (explen == k + 1) & (k < 4)
 
+        # ---- ASCII fast path: 5 bitplane selects, no tables ----------------
+        xs = b.astype(jnp.uint32)
+        sh = xs & 31
+        ascii_cls = jnp.zeros((B, L), jnp.int32)
+        for p in range(n_bits):
+            C0, C1, C2, C3 = plane_words[p]
+            w = jnp.where(
+                xs < 32, C0,
+                jnp.where(xs < 64, C1, jnp.where(xs < 96, C2, C3)),
+            )
+            ascii_cls = ascii_cls | (((w >> sh) & 1) << p).astype(jnp.int32)
+
+        # ---- non-ASCII char ends: compact -> small lookup -> scatter -------
         cp = jnp.where(
-            k == 0, lead,
+            k == 1, ((lead & 0x1F) << 6) | (b & 0x3F),
             jnp.where(
-                k == 1, ((lead & 0x1F) << 6) | (b & 0x3F),
-                jnp.where(
-                    k == 2,
-                    ((lead & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b & 0x3F),
-                    ((lead & 0x07) << 18) | ((b2 & 0x3F) << 12)
-                    | ((b1 & 0x3F) << 6) | (b & 0x3F),
-                ),
+                k == 2,
+                ((lead & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b & 0x3F),
+                ((lead & 0x07) << 18) | ((b2 & 0x3F) << 12)
+                | ((b1 & 0x3F) << 6) | (b & 0x3F),
             ),
         )
         cp = jnp.clip(cp, 0, 0x10FFFF)
-
-        # level 1: page entry via one int8 matmul (exact: 0/1 x int8 -> i32)
-        page = cp >> PAGE_BITS
-        hi = page >> 7
-        lo = page & 127
-        oh_lo = (lo[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.int8)
-        planes = lax.dot_general(
-            oh_lo.reshape(-1, 128), page_planes,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).reshape(B, L, n_hi, 2)
-        oh_hi = (hi[..., None] == jnp.arange(n_hi, dtype=jnp.int32)).astype(jnp.int32)
-        entry_lo = jnp.sum(planes[..., 0] * oh_hi, axis=-1)
-        entry_hi = jnp.sum(planes[..., 1] * oh_hi, axis=-1)
-        entry = entry_lo | (entry_hi << 7)
-
-        is_mixed = (entry & MIXED_FLAG) != 0
-        mixed_idx = jnp.where(is_mixed, entry & (MIXED_FLAG - 1), 0)
-
-        # level 2: mixed-row class via one int8 matmul over [128, n_mixed]
-        cpl = cp & ((1 << PAGE_BITS) - 1)
-        oh_cpl = (cpl[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(jnp.int8)
-        mrows = lax.dot_general(
-            oh_cpl.reshape(-1, 128), mixed_t,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).reshape(B, L, n_mixed)
-        oh_m = (mixed_idx[..., None] == jnp.arange(n_mixed, dtype=jnp.int32)).astype(
-            jnp.int32
-        )
-        mixed_cls = jnp.sum(mrows * oh_m, axis=-1)
-
-        cls = jnp.where(is_mixed, mixed_cls, entry)
         pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-        out = jnp.where(char_end, cls, jnp.where(cont, CONT, SKIP))
-        return jnp.where(pos >= n_total[:, None], EOF, out)
+        na = char_end & cont & (pos < n_total[:, None])
+        if na_frac <= 2:
+            NA = L // 2 + 1  # 2-byte chars bound char-end density at 1/2
+        else:
+            NA = max(8, -(-L // na_frac))
+        (c_cp, c_pos), n_na = compact(na, [cp, pos + jnp.zeros((B, 1), jnp.int32)], NA)
+        na_overflow = (n_na > NA).any()
+
+        cls_small = lookup_cp(jnp.clip(c_cp, 0x80, 0x10FFFF))
+
+        rows_i = jnp.arange(B, dtype=jnp.int32)[:, None]
+        valid_s = jnp.arange(NA, dtype=jnp.int32)[None, :] < n_na[:, None]
+        tgt = jnp.where(valid_s, rows_i * L + c_pos, B * L)
+        na_cls = (
+            jnp.zeros((B * L + 1,), jnp.int32)
+            .at[tgt.reshape(-1)]
+            .set(cls_small.reshape(-1), mode="drop")[: B * L]
+            .reshape(B, L)
+        )
+
+        out = jnp.where(
+            char_end,
+            jnp.where(cont, na_cls, ascii_cls),
+            jnp.where(cont, CONT, SKIP),
+        )
+        return (
+            jnp.where(pos >= n_total[:, None], EOF, out),
+            na_overflow,
+        )
 
     return fn

@@ -124,9 +124,10 @@ def build_pipeline2_fn(
         rows, n_payload, n_total,
     ):
         vocab_rows, vocab_long_rows = vocab_rows
+        na_overflow = False
         if char_tables is not None:
             page_planes, mixed_t = scan_tables
-            cls = classes_fn(page_planes, mixed_t, rows, n_total)
+            cls, na_overflow = classes_fn(page_planes, mixed_t, rows, n_total)
             cls_ext = jnp.concatenate(
                 [cls, jnp.full((B, 1), eof_cls, cls.dtype)], axis=1
             )
@@ -148,7 +149,7 @@ def build_pipeline2_fn(
         starts, lens, n_pieces, _pid = catalog_fn(piece_start, n_payload)
         # strictly below p_cap: slot p_cap-1 is the fill target for the
         # miss/long compactions and must stay a padding piece
-        overflow = n_pieces > p_cap - 1
+        overflow = (n_pieces > p_cap - 1) | na_overflow
 
         # rows containing over-long pieces fall back to the host
         too_long = lens > LONG_SLOT

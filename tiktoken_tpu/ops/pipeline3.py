@@ -237,7 +237,11 @@ def build_pipeline3_fn(
         l_cap = max(64, N // 512)
         t_cap = -(-max(512, N // 5) // 4) * 4
 
-    classes_fn = make_byte_classes_fn(char_tables)
+    # worst_case also lifts the non-ASCII char-end cap to its 1/2-density
+    # bound, so the retry variant can never overflow on the class map
+    classes_fn = make_byte_classes_fn(
+        char_tables, na_frac=2 if worst_case else 8
+    )
     # unroll depths resolve per backend inside the kernel builders: deep
     # bodies divide the TPU while_loop iteration floor (HARDWARE.md),
     # shallow ones keep XLA:CPU compiles fast (sweep_scan.resolve_unroll)
@@ -328,7 +332,7 @@ def build_pipeline3_fn(
         vocab_rows, vocab_long_rows = vocab_rows
         rows = row_gather(flat, row_off)  # [C, KL] u8
 
-        cls = classes_fn(page_planes, mixed_t, rows, n_total)
+        cls, na_overflow = classes_fn(page_planes, mixed_t, rows, n_total)
         cls_ext = jnp.concatenate(
             [cls, jnp.full((C, 1), eof_cls, cls.dtype)], axis=1
         )
@@ -544,7 +548,7 @@ def build_pipeline3_fn(
             .add(jnp.where(live, counts, 0))
         )
 
-        overflow = overflow | m_overflow | l_overflow | t_overflow
+        overflow = overflow | m_overflow | l_overflow | t_overflow | na_overflow
         if pack24:
             b0 = (flat_tok & 0xFF).astype(jnp.uint8)
             b1 = ((flat_tok >> 8) & 0xFF).astype(jnp.uint8)

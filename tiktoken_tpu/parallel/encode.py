@@ -251,11 +251,12 @@ class ShardedEngine:
         self.stats["rows"] += B
         return row_tokens, np.concatenate(row_bad_all)
 
-    def _program3(self, C: int, K: int):
+    def _program3(self, C: int, K: int, worst_case: bool = False):
         """Sharded v3 handshake pipeline: each chip tokenizes its own
         self-contained chunk (ghost row included), so the forward pass
-        needs no collectives at all."""
-        key = ("v3", C, K)
+        needs no collectives at all. ``worst_case`` compiles the
+        densest-legal-input cap variant used for overflow retries."""
+        key = ("v3", C, K, worst_case)
         fn = self._jitted.get(key)
         if fn is not None:
             return fn
@@ -276,6 +277,7 @@ class ShardedEngine:
             long_seed=self.engine.long_vocab_table.seed,
             long_buckets=self.engine.long_vocab_table.n_buckets,
             pack24=self.engine.pack24,
+            worst_case=worst_case,
         )
         rep = P()
         dat = P(self.axis)
@@ -366,8 +368,19 @@ class ShardedEngine:
                 tables["scan2"], tables["buckets"], tables["byte_to_rank"],
                 tables["vocab"], *stacked,
             )
-            flat = np.asarray(flat)
             header = np.asarray(header)
+            if header[:, -1].any():
+                # cap overflow on some chip: re-dispatch the group through
+                # the worst-case-caps variant (compiled lazily; by
+                # construction it cannot overflow) — same behaviour as the
+                # single-device path, so dense scripts stay on device
+                wfn = self._program3(C, K, worst_case=True)
+                flat, header = wfn(
+                    tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+                    tables["vocab"], *stacked,
+                )
+                header = np.asarray(header)
+            flat = np.asarray(flat)
             for d in range(n_dev):
                 nreal = nreals[d]
                 if nreal <= 0:
