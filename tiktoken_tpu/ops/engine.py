@@ -633,14 +633,35 @@ class DeviceEngine:
         def chunk_inputs(lo):
             return chunk_inputs3(pc, lo, R, C, S)
 
-        pending = []
-        for lo in range(0, B, R):
+        # Threaded pre-upload with a bounded in-flight window: a single
+        # host->device stream runs at ~21 MB/s on the tunnel while 4-8
+        # overlapped streams reach ~46 MB/s (HARDWARE.md) — once compute
+        # beats ~20 MB/s, sequential implicit transfers become the wall.
+        # The window bounds device-side footprint for corpus-scale runs.
+        import jax
+
+        UPLOAD_AHEAD = 8
+
+        def upload(lo):
             inputs, nreal = chunk_inputs(lo)
-            tok, header = fn(
-                tables["scan2"], tables["buckets"], tables["byte_to_rank"],
-                tables["vocab"], *inputs,
-            )
-            pending.append([tok, header, nreal, lo])
+            return tuple(jax.device_put(x) for x in inputs), nreal
+
+        pending = []
+        los = list(range(0, B, R))
+        with ThreadPoolExecutor(max_workers=4) as upool:
+            futs = {}
+            for i, lo in enumerate(los[:UPLOAD_AHEAD]):
+                futs[lo] = upool.submit(upload, lo)
+            for i, lo in enumerate(los):
+                inputs, nreal = futs.pop(lo).result()
+                nxt = i + UPLOAD_AHEAD
+                if nxt < len(los):
+                    futs[los[nxt]] = upool.submit(upload, los[nxt])
+                tok, header = fn(
+                    tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+                    tables["vocab"], *inputs,
+                )
+                pending.append([tok, header, nreal, lo])
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             headers = list(pool.map(lambda p: np.asarray(p[1]), pending))
