@@ -116,6 +116,32 @@ def test_slot_merge_matches_sequential(W):
         np.asarray(tok_j)[alive_np], tok_np[alive_np]
     )
 
+    # two-phase (mid-loop compaction) variant: same results, both when
+    # the survivors fit the M/4 pool and when they overflow it (the
+    # lax.cond fallback re-runs the full arena)
+    fn2 = jax.jit(
+        make_slot_merge_fn(
+            table.seed, table.n_buckets, W, midcompact=True, midcompact_min=8
+        )
+    )
+    tok_c, alive_c, _r = fn2(table.buckets, table.byte_to_rank, slot, lens)
+    np.testing.assert_array_equal(np.asarray(alive_c), alive_np)
+    np.testing.assert_array_equal(
+        np.asarray(tok_c)[alive_np], tok_np[alive_np]
+    )
+    # overflow path: every piece identical and long -> all survive phase 1
+    hard = np.tile(np.frombuffer(b"abcdefghijklmnop"[:W][: min(W, 16)], np.uint8),
+                   (M, 1))
+    slot_h = np.zeros((M, W), dtype=np.uint8)
+    slot_h[:, : hard.shape[1]] = hard
+    lens_h = np.full(M, hard.shape[1], np.int32)
+    tok_hn, alive_hn = slot_merge_numpy(table, slot_h, lens_h)
+    tok_hj, alive_hj, _r2 = fn2(table.buckets, table.byte_to_rank, slot_h, lens_h)
+    np.testing.assert_array_equal(np.asarray(alive_hj), alive_hn)
+    np.testing.assert_array_equal(
+        np.asarray(tok_hj)[alive_hn], tok_hn[alive_hn]
+    )
+
 
 @pytest.mark.parametrize("pat_name", PAT_NAMES)
 def test_v2_corpus_matches_reference(pat_name):

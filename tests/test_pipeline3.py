@@ -134,6 +134,27 @@ def test_long_vocab_table_build_and_probe():
     assert got[-1] == MISS
 
 
+def test_midcompact_merge_end_to_end(monkeypatch):
+    # the two-phase merge is the TPU default but off on CPU; force it on
+    # through the full v3 pipeline and require byte-exact parity
+    monkeypatch.setenv("TIKTOKEN_TPU_MERGE_MIDCOMPACT", "1")
+    monkeypatch.setenv("TIKTOKEN_TPU_MERGE_MIDCOMPACT_MIN", "8")
+    from tiktoken_tpu.ops.engine import DeviceEngine
+    from tests.helpers import special_tokens_for, trained_ranks
+    import tiktoken_tpu
+
+    ranks = trained_ranks("o200k", 800)
+    enc2 = tiktoken_tpu.Encoding(
+        "midcompact_t", pat_str=__import__("tests.helpers", fromlist=["pat_str"]).pat_str("o200k"),
+        mergeable_ranks=ranks, special_tokens=special_tokens_for(ranks),
+    )
+    texts = [make_mixed_corpus(1500, seed=11), "打打打 mixed 123456 text!"]
+    got = enc2.device_engine.encode_corpus3(
+        texts, host_fallback=enc2._core_bpe, K=64, chunk_rows=16
+    )
+    assert got == [enc2.encode_ordinary(t) for t in texts]
+
+
 def test_encode_corpus_routes_v3(enc):
     got = enc.encode_corpus([CJK * 10, "hello world"], strategy="device")
     assert got == [enc.encode_ordinary(CJK * 10),

@@ -128,6 +128,39 @@ def compact(valid, payloads, out_size: int):
     return [v[..., :out_size] for v in vals], count
 
 
+def route_right_multi(dst, payloads, out_size: int):
+    """Monotone rightward radix route of flat payloads to slots ``dst``
+    (strictly increasing over routed entries, ``dst - index >= 0``;
+    dst < 0 drops). High displacement bits first — the collision-free
+    order for rightward moves (see ``expand``). Unrouted output slots
+    are zero."""
+    import jax.numpy as jnp
+
+    n = dst.shape[0]
+    m = max(n, out_size)
+    vals = list(payloads)
+    if m > n:
+        pad = m - n
+        dst = jnp.concatenate([dst, jnp.full((pad,), -1, dst.dtype)])
+        vals = [
+            jnp.concatenate([v, jnp.zeros((pad,), v.dtype)]) for v in vals
+        ]
+    disp = jnp.where(dst >= 0, dst - jnp.arange(m, dtype=jnp.int32), -1)
+    rounds = max(1, (m - 1).bit_length())
+    for b in reversed(range(rounds)):
+        step = 1 << b
+        move = (disp >= 0) & ((disp & step) != 0)
+        take = jnp.concatenate([jnp.zeros((step,), bool), move[:-step]])
+        keep = (disp >= 0) & ~move
+
+        def sh(a, fill):
+            return jnp.concatenate([jnp.full((step,), fill, a.dtype), a[:-step]])
+
+        vals = [jnp.where(take, sh(v, 0), jnp.where(keep, v, 0)) for v in vals]
+        disp = jnp.where(take, sh(disp, -1) - step, jnp.where(keep, disp, -1))
+    return [v[:out_size] for v in vals]
+
+
 def expand(counts, payloads, out_size: int):
     """jax anchor expansion over flat arrays.
 

@@ -59,7 +59,9 @@ def slot_merge_numpy(
 # ---------------------------------------------------------------------------
 
 
-def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4):
+def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4,
+                       midcompact: bool | None = None,
+                       midcompact_min: int = 4096):
     """jit-able: (buckets [nb,32] u32, byte_to_rank [256] u32,
     slot_bytes [M,W] u8, lens [M] i32)
     -> (tokens [M,W] u32, alive [M,W] bool, rounds i32).
@@ -69,17 +71,37 @@ def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4):
     divides it; steps on already-finished pieces are masked no-ops.
     On the XLA:CPU backend the tuned-deep bodies only multiply compile
     time (the round-2 multichip gate timed out on them), so the depth is
-    capped at 2 there; ``TIKTOKEN_TPU_MERGE_UNROLL`` overrides both."""
+    capped at 2 there; ``TIKTOKEN_TPU_MERGE_UNROLL`` overrides both.
+
+    ``midcompact``: after the first unrolled round-group, most pieces
+    are finished but every further round still pays full-arena traffic
+    and two bucket row-gathers over all M lanes. The two-phase variant
+    compacts still-active pieces into an M/4 pool, finishes the loop
+    there, and routes results back (falling back to the full-arena loop
+    via ``lax.cond`` if more than M/4 pieces survive — adversarial
+    inputs only). Defaults on for non-CPU backends when M >=
+    ``midcompact_min``; ``TIKTOKEN_TPU_MERGE_MIDCOMPACT=0/1`` overrides.
+    """
     import os
 
     import jax
     import jax.numpy as jnp
+
+    from tiktoken_tpu.ops.compaction import compact, route_right_multi
 
     env = os.environ.get("TIKTOKEN_TPU_MERGE_UNROLL")
     if env:
         unroll = int(env)
     elif jax.default_backend() == "cpu":
         unroll = min(unroll, 2)
+    envm = os.environ.get("TIKTOKEN_TPU_MERGE_MIDCOMPACT")
+    if envm:
+        midcompact = envm != "0"
+    elif midcompact is None:
+        midcompact = jax.default_backend() != "cpu"
+    envmin = os.environ.get("TIKTOKEN_TPU_MERGE_MIDCOMPACT_MIN")
+    if envmin:
+        midcompact_min = int(envmin)
 
     mask = np.uint32(n_buckets - 1)
 
@@ -129,46 +151,148 @@ def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4):
             _tok, _alive, _nxt, r, rounds = state
             return (r != RANK_MAX).any() & (rounds < W)
 
-        def body(state):
-            for _ in range(unroll):
-                state = substep(state)
-            return state
+        def make_step(lens_):
+            """substep/body bound to a piece-length vector (the compacted
+            phase runs on compacted lens; arena size comes from state)."""
 
-        def substep(state):
-            tok, alive, nxt, r, rounds = state
-            rmin = jnp.min(r, axis=1)
-            k = jnp.argmin(r, axis=1).astype(jnp.int32)  # leftmost min
-            act = rmin != RANK_MAX
+            def substep(state):
+                tok, alive, nxt, r, rounds = state
+                Mloc = tok.shape[0]
+                rmin = jnp.min(r, axis=1)
+                k = jnp.argmin(r, axis=1).astype(jnp.int32)  # leftmost min
+                act = rmin != RANK_MAX
 
-            j = take(nxt, k)  # right partner position
-            jn = take(nxt, jnp.minimum(j, W - 1))  # partner's next
-            new_tok = rmin  # merged id == pair rank
+                j = take(nxt, k)  # right partner position
+                jn = take(nxt, jnp.minimum(j, W - 1))  # partner's next
+                new_tok = rmin  # merged id == pair rank
 
-            tok = put(tok, k, new_tok, act)
-            alive = alive & ~((cols[None, :] == j[:, None]) & act[:, None])
-            nxt = put(nxt, k, jn, act)
-            r = put(r, jnp.minimum(j, W - 1), jnp.full((M,), INT_RANK_MAX, jnp.uint32),
-                    act)
+                tok = put(tok, k, new_tok, act)
+                alive = alive & ~((cols[None, :] == j[:, None]) & act[:, None])
+                nxt = put(nxt, k, jn, act)
+                r = put(r, jnp.minimum(j, W - 1),
+                        jnp.full((Mloc,), INT_RANK_MAX, jnp.uint32), act)
 
-            # left alive neighbour l: the position with nxt[l] == k
-            is_l = alive & (nxt == k[:, None]) & act[:, None] & (cols[None, :] != k[:, None])
-            has_l = is_l.any(axis=1)
-            l = jnp.argmax(is_l, axis=1).astype(jnp.int32)
+                # left alive neighbour l: the position with nxt[l] == k
+                is_l = alive & (nxt == k[:, None]) & act[:, None] & (
+                    cols[None, :] != k[:, None]
+                )
+                has_l = is_l.any(axis=1)
+                l = jnp.argmax(is_l, axis=1).astype(jnp.int32)
 
-            # two fresh lookups per piece: (new_tok, right) and (left, new_tok)
-            right_tok = take(tok, jnp.minimum(jn, W - 1))
-            ok_r = act & (jn < lens)
-            r_k = lookup(buckets, new_tok, right_tok, ok_r)
-            left_tok = take(tok, l)
-            r_l = lookup(buckets, left_tok, new_tok, act & has_l)
+                # two fresh lookups: (new_tok, right) and (left, new_tok)
+                right_tok = take(tok, jnp.minimum(jn, W - 1))
+                ok_r = act & (jn < lens_)
+                r_k = lookup(buckets, new_tok, right_tok, ok_r)
+                left_tok = take(tok, l)
+                r_l = lookup(buckets, left_tok, new_tok, act & has_l)
 
-            r = put(r, k, r_k, act)
-            r = put(r, l, r_l, act & has_l)
-            return tok, alive, nxt, r, rounds + 1
+                r = put(r, k, r_k, act)
+                r = put(r, l, r_l, act & has_l)
+                return tok, alive, nxt, r, rounds + 1
 
-        tok, alive, _nxt, _r, rounds = jax.lax.while_loop(
-            cond, body, (tok, alive, nxt, r0, jnp.int32(0))
+            def body(state):
+                for _ in range(unroll):
+                    state = substep(state)
+                return state
+
+            return substep, body
+
+        substep, body = make_step(lens)
+
+        st0 = (tok, alive, nxt, r0, jnp.int32(0))
+        if not midcompact or M < midcompact_min:
+            tok, alive, _nxt, _r, rounds = jax.lax.while_loop(cond, body, st0)
+            return tok, alive, rounds
+
+        # ---- two-phase: one unrolled group, compact survivors, finish ----
+        st = st0
+        for _ in range(unroll):
+            st = substep(st)
+        tok1, alive1, nxt1, r1, rounds1 = st
+        act = (r1 != RANK_MAX).any(axis=1)
+        M2 = max(256, M // 4)
+        idx = jnp.arange(M, dtype=jnp.int32)
+
+        nb = W.bit_length()  # bits per nxt value (values 0..W)
+        per = 32 // nb
+        n_nxt_words = -(-W // per)
+        nxt_words = []
+        for g in range(n_nxt_words):
+            word = jnp.zeros((M,), jnp.uint32)
+            for i in range(g * per, min((g + 1) * per, W)):
+                word = word | (
+                    nxt1[:, i].astype(jnp.uint32) << (nb * (i - g * per))
+                )
+            nxt_words.append(word)
+        n_alive_words = -(-W // 32)
+        alive_words = []
+        for g in range(n_alive_words):
+            word = jnp.zeros((M,), jnp.uint32)
+            for i in range(g * 32, min((g + 1) * 32, W)):
+                word = word | (alive1[:, i].astype(jnp.uint32) << (i - g * 32))
+            alive_words.append(word)
+
+        payloads = (
+            [idx, lens]
+            + [tok1[:, i] for i in range(W)]
+            + [r1[:, i] for i in range(W)]
+            + nxt_words
+            + alive_words
         )
-        return tok, alive, rounds
+        comp, n_act = compact(act, payloads, M2)
+        c_idx = comp[0]
+        fits = n_act <= M2
+
+        lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+        def unpack_alive(words):
+            out = jnp.zeros((words[0].shape[0], W), bool)
+            for g, word in enumerate(words):
+                for i in range(g * 32, min((g + 1) * 32, W)):
+                    out = out.at[:, i].set(((word >> (i - g * 32)) & 1) != 0)
+            return out
+
+        def run_compacted(_):
+            lens2 = comp[1]
+            tok2 = jnp.stack(comp[2 : 2 + W], axis=1)
+            r2 = jnp.stack(comp[2 + W : 2 + 2 * W], axis=1)
+            nxt2 = jnp.zeros((M2, W), jnp.int32)
+            for g in range(n_nxt_words):
+                word = comp[2 + 2 * W + g]
+                for i in range(g * per, min((g + 1) * per, W)):
+                    nxt2 = nxt2.at[:, i].set(
+                        ((word >> (nb * (i - g * per))) & (2**nb - 1)).astype(
+                            jnp.int32
+                        )
+                    )
+            alive2 = unpack_alive(comp[2 + 2 * W + n_nxt_words :])
+            live2 = jnp.arange(M2, dtype=jnp.int32) < n_act
+            r2 = jnp.where(live2[:, None], r2, RANK_MAX)
+            _sub2, body2 = make_step(lens2)
+            tok3, alive3, _n3, _r3, rounds3 = jax.lax.while_loop(
+                cond, body2, (tok2, alive2, nxt2, r2, rounds1)
+            )
+            dst = jnp.where(live2, c_idx, -1)
+            alive3w = [
+                sum(
+                    (alive3[:, i].astype(jnp.uint32) << (i - g * 32))
+                    for i in range(g * 32, min((g + 1) * 32, W))
+                )
+                for g in range(n_alive_words)
+            ]
+            routed = route_right_multi(
+                dst, [tok3[:, i] for i in range(W)] + alive3w, M
+            )
+            tok_r = jnp.stack(routed[:W], axis=1)
+            alive_r = unpack_alive(routed[W:])
+            tok_out = jnp.where(act[:, None], tok_r, tok1)
+            alive_out = jnp.where(act[:, None], alive_r, alive1)
+            return tok_out, alive_out, rounds3
+
+        def run_full(_):
+            tok4, alive4, _n4, _r4, rounds4 = jax.lax.while_loop(cond, body, st)
+            return tok4, alive4, rounds4
+
+        return jax.lax.cond(fits, run_compacted, run_full, None)
 
     return merge
