@@ -350,7 +350,8 @@ class ShardedEngine:
 
         frags: dict[int, list[np.ndarray]] = {}
         fallback_docs: set[int] = set()
-        for g_lo in range(0, B, R * n_dev):
+
+        def build_group(g_lo):
             chunks = []
             nreals = []
             for d in range(n_dev):
@@ -364,6 +365,21 @@ class ShardedEngine:
                 jax.device_put(np.stack([c[i] for c in chunks]), shard1)
                 for i in range(7)
             ]
+            return stacked, nreals
+
+        # threaded pre-upload, one group ahead (HARDWARE.md: overlapped
+        # host->device streams run ~2x a single stream on the tunnel)
+        from concurrent.futures import ThreadPoolExecutor
+
+        g_los = list(range(0, B, R * n_dev))
+        upool = ThreadPoolExecutor(max_workers=4)
+        futs = {
+            g: upool.submit(build_group, g) for g in g_los[:2]
+        }
+        for gi, g_lo in enumerate(g_los):
+            stacked, nreals = futs.pop(g_lo).result()
+            if gi + 2 < len(g_los):
+                futs[g_los[gi + 2]] = upool.submit(build_group, g_los[gi + 2])
             flat, header = fn(
                 tables["scan2"], tables["buckets"], tables["byte_to_rank"],
                 tables["vocab"], *stacked,
@@ -409,6 +425,7 @@ class ShardedEngine:
                 for a, b in zip(fr_start, fr_end):
                     doc = int(di[a])
                     frags.setdefault(doc, []).append(toks[offs[a] : offs[b]])
+        upool.shutdown(wait=False)
         for doc, parts in frags.items():
             if doc in fallback_docs:
                 continue
