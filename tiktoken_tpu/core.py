@@ -305,8 +305,14 @@ class Encoding:
             else:
                 strategy = "hybrid"
         if not device or strategy == "host":
-            return [self.encode_ordinary(t if isinstance(t, str) else t.decode("utf-8"))
-                    for t in texts]
+            import os as _os
+
+            # the native batch path threads below the GIL: use every core
+            # (matches the reference's own best multi-threaded config)
+            return self.encode_ordinary_batch(
+                [t if isinstance(t, str) else t.decode("utf-8") for t in texts],
+                num_threads=max(1, min(32, _os.cpu_count() or 1)),
+            )
         kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
         if strategy == "device" or not native:
             return self._device_encode(texts, row_capacity)
@@ -321,15 +327,30 @@ class Encoding:
         for i, t in enumerate(texts):
             q.put(i)
         def host_worker():
+            import os as _os
+
+            n_thr = max(1, min(32, (_os.cpu_count() or 1) - 1))
             while True:
-                try:
-                    i = q.get_nowait()
-                except queue.Empty:
+                # small multi-doc grabs: the native batch call threads
+                # below the GIL across all remaining cores
+                idxs: list[int] = []
+                while len(idxs) < max(1, 2 * n_thr):
+                    try:
+                        idxs.append(q.get_nowait())
+                    except queue.Empty:
+                        break
+                if not idxs:
                     return
-                t = texts[i]
-                out[i] = self.encode_ordinary(
-                    t if isinstance(t, str) else t.decode("utf-8")
+                got = self.encode_ordinary_batch(
+                    [
+                        texts[i] if isinstance(texts[i], str)
+                        else texts[i].decode("utf-8")
+                        for i in idxs
+                    ],
+                    num_threads=n_thr,
                 )
+                for i, toks in zip(idxs, got):
+                    out[i] = toks
 
         def device_worker():
             # multi-document batches per device call: the dispatch+fetch
