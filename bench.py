@@ -160,8 +160,12 @@ def main() -> None:
         f"pair table={engine.pair_table.n_pairs} pairs, "
         f"buckets={engine.pair_table.n_buckets}")
 
-    # warmup (compile the device chunk shape + build the native core)
+    # warmup (compile the device chunk shape + build the native core);
+    # worst_case=True also pre-compiles the cap-overflow retry variant so
+    # a rare dense chunk can never inject a multi-minute compile into a
+    # timed section
     log("warmup/compile...")
+    enc.warmup(worst_case=True)
     _ = enc.encode_corpus(docs[:2], strategy="device")
     _ = enc.encode_corpus(docs[:1], strategy="host")
 

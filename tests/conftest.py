@@ -11,7 +11,14 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's parallel LLVM codegen segfaults intermittently on this
+# repo's larger programs (observed twice in _dispatch_chunks3 compiles,
+# always inside backend_compile); serializing codegen avoids the race
+# and costs nothing on the 1-core CI box.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # NOTE: the jax persistent compilation cache is deliberately NOT enabled:
 # executable serialization segfaults the CPU backend on some of this
