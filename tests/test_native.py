@@ -77,3 +77,44 @@ print(",".join(map(str, enc.encode_ordinary(t)[:50])))
     enc = make_encoding("o200k")
     t = make_mixed_corpus(2000, seed=3)
     assert out.stdout.strip() == ",".join(map(str, enc.encode_ordinary(t)[:50]))
+
+
+@given(st.binary(min_size=0, max_size=4000), st.sampled_from([40, 64, 176]))
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+def test_native_pack_cuts_match_numpy(data, K):
+    """ttpu_pack_cuts3 is bit-exact with the numpy cut computation on
+    valid UTF-8 (the packer may receive any of the engine's document
+    bytes, always utf-8-encoded str)."""
+    import numpy as np
+
+    from tiktoken_tpu.native import load_library, pack_cuts3
+    from tiktoken_tpu.ops.pipeline3 import DIGIT_BACKUP, _doc_cuts_np
+
+    if load_library() is None:
+        pytest.skip("native core unavailable")
+    # make it valid UTF-8 (the packer's input domain)
+    data = data.decode("utf-8", errors="replace").encode("utf-8")
+    arr = np.frombuffer(data, np.uint8)
+    if len(arr) <= K:
+        return
+    got = pack_cuts3(arr, K, DIGIT_BACKUP)
+    assert got is not None
+    assert np.array_equal(got, _doc_cuts_np(arr, K))
+
+
+def test_native_pack_cuts_digit_runs(native_available):
+    """Phase-locked digit runs: backup respected, forward progress kept."""
+    import numpy as np
+
+    from tiktoken_tpu.native import pack_cuts3
+    from tiktoken_tpu.ops.pipeline3 import DIGIT_BACKUP, _doc_cuts_np
+
+    for doc in [
+        b"7" * 5000,                       # one giant run: raw cuts stay in-run
+        (b"abc " + b"9" * 30) * 300,       # runs shorter than the backup
+        (b"x" * 170 + b"12345678901234567890123456789012345678901234567890") * 40,
+        "東京1234567890".encode() * 400,
+    ]:
+        arr = np.frombuffer(doc, np.uint8)
+        got = pack_cuts3(arr, 176, DIGIT_BACKUP)
+        assert np.array_equal(got, _doc_cuts_np(arr, 176)), doc[:40]

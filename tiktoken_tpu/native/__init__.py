@@ -87,6 +87,12 @@ def load_library():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
         ]
+        if hasattr(lib, "ttpu_pack_cuts3"):  # absent in older prebuilts
+            lib.ttpu_pack_cuts3.restype = ctypes.c_int64
+            lib.ttpu_pack_cuts3.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ]
         lib.ttpu_encode_batch.restype = ctypes.c_int64
         lib.ttpu_encode_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
@@ -96,6 +102,26 @@ def load_library():
     except Exception:
         _LIB = None
     return _LIB
+
+
+def pack_cuts3(data: np.ndarray, K: int, backup: int):
+    """Native handshake-cut positions for one document's bytes, or None
+    when the native core (or the symbol, in an older prebuilt) is
+    unavailable. Bit-exact with pack_corpus3's numpy cut computation on
+    valid UTF-8 (differentially tested)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "ttpu_pack_cuts3"):
+        return None
+    n = len(data)
+    cap = (n - 1) // K + 1 if n > 0 else 1
+    out = np.empty(cap, dtype=np.int64)
+    data = np.ascontiguousarray(data)
+    m = lib.ttpu_pack_cuts3(
+        data.ctypes.data, n, K, backup, out.ctypes.data, cap
+    )
+    if m < 0:
+        return None
+    return out[:m]
 
 
 class NativeCore:

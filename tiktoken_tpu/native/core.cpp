@@ -349,6 +349,47 @@ int64_t ttpu_encode_batch(void* h, const char* data,
     return 0;
 }
 
+// Handshake-row cut positions for one document (the native form of
+// ops/pipeline3.pack_corpus3's per-document cut computation, bit-exact
+// on valid UTF-8). For each grid position g = K, 2K, ... < n the cut is
+// the last position <= g that starts a character and does not fall
+// inside an ASCII digit run; if backing out of a digit run would move
+// the cut more than min(backup, K/2) bytes, the raw character cut is
+// kept instead (the handshake flags the phase-locked run and the
+// document falls back). Cuts are written strictly increasing, in (0, n).
+// Returns the cut count (callers size `out` as (n-1)/K + 1).
+int64_t ttpu_pack_cuts3(const uint8_t* data, int64_t n, int64_t K,
+                        int64_t backup, int64_t* out, int64_t cap) {
+    if (n <= K || K <= 0) return 0;
+    int64_t B = backup < K / 2 ? backup : K / 2;
+    int64_t n_out = 0;
+    int64_t prev_cut = 0;
+    for (int64_t g = K; g < n; g += K) {
+        // window of B+5 positions decides exactly: if no eligible cut
+        // lies inside it, the true cut is > B behind the raw char cut
+        // (which is always within 3 bytes), so raw wins either way
+        int64_t lo = g - (B + 4);
+        if (lo < 0) lo = 0;
+        int64_t raw = -1, cut = -1;
+        for (int64_t p = g; p >= lo; --p) {
+            uint8_t b = data[p];
+            if ((b & 0xC0) == 0x80) continue;  // UTF-8 continuation
+            if (raw < 0) raw = p;
+            bool in_run = p > 0 && b >= '0' && b <= '9' &&
+                          data[p - 1] >= '0' && data[p - 1] <= '9';
+            if (!in_run) { cut = p; break; }
+        }
+        if (raw < 0) raw = g;  // invalid UTF-8: no char start in window
+        if (cut < 0 || raw - cut > B) cut = raw;
+        if (cut > prev_cut && cut < n) {
+            if (n_out >= cap) return -1;
+            out[n_out++] = cut;
+            prev_cut = cut;
+        }
+    }
+    return n_out;
+}
+
 // Decode token ids to bytes. Returns the byte count written, the required
 // size if cap is too small (call again with a bigger buffer), or -1-i when
 // tokens[i] is not an ordinary token (special/unknown: the caller handles

@@ -75,6 +75,45 @@ class PackedCorpus3:
     K: int
 
 
+def _doc_cuts_np(data: np.ndarray, K: int) -> np.ndarray:
+    """Cut positions for one document, numpy reference implementation.
+
+    Candidate cut positions: character starts that do not fall inside an
+    ASCII digit run. Digit runs are the one piece family whose
+    boundaries are phase-locked to the run START (\\p{N}{1,3}), so a
+    speculative scan beginning mid-run can never resync; every other run
+    family ends at a content-determined position and self-syncs. Runs
+    longer than DIGIT_BACKUP keep the in-run cut (rare; the handshake
+    flags them and the document falls back)."""
+    n = len(data)
+    is_digit = (data >= 0x30) & (data <= 0x39)
+    in_run = np.zeros(n, dtype=bool)
+    in_run[1:] = is_digit[1:] & is_digit[:-1]
+    okpos = ((data & 0xC0) != 0x80) & ~in_run
+    nc = np.nonzero(okpos)[0]
+    grid = np.arange(K, n, K, dtype=np.int64)
+    cuts = nc[np.searchsorted(nc, grid, side="right") - 1]
+    # keep forward progress: if backing out of a digit run moved a
+    # cut more than DIGIT_BACKUP bytes, take the raw char cut
+    ncc = np.nonzero((data & 0xC0) != 0x80)[0]
+    raw = ncc[np.searchsorted(ncc, grid, side="right") - 1]
+    cuts = np.where(raw - cuts > min(DIGIT_BACKUP, K // 2), raw, cuts)
+    cuts = np.unique(cuts)
+    return cuts[(cuts > 0) & (cuts < n)]
+
+
+def _doc_cuts(data: np.ndarray, K: int) -> np.ndarray:
+    """Cut positions for one document: native single-pass scan when the
+    host core is built (~50x the numpy reference, which makes ~10 full
+    passes over the bytes), else the numpy reference."""
+    from tiktoken_tpu.native import pack_cuts3
+
+    cuts = pack_cuts3(data, K, DIGIT_BACKUP)
+    if cuts is None:
+        return _doc_cuts_np(data, K)
+    return cuts
+
+
 def pack_corpus3(docs: Sequence[bytes], K: int = K_DEFAULT) -> PackedCorpus3:
     """Cut each document every ~K bytes at a character boundary (backing
     up over at most 3 continuation bytes — script-agnostic). Fully
@@ -92,28 +131,7 @@ def pack_corpus3(docs: Sequence[bytes], K: int = K_DEFAULT) -> PackedCorpus3:
         if n <= K:
             bounds = np.asarray([0, n], dtype=np.int64)
         else:
-            # candidate cut positions: character starts that do not fall
-            # inside an ASCII digit run. Digit runs are the one piece
-            # family whose boundaries are phase-locked to the run START
-            # (\p{N}{1,3}), so a speculative scan beginning mid-run can
-            # never resync; every other run family ends at a
-            # content-determined position and self-syncs. Runs longer
-            # than DIGIT_BACKUP keep the in-run cut (rare; the handshake
-            # flags them and the document falls back).
-            is_digit = (data >= 0x30) & (data <= 0x39)
-            in_run = np.zeros(n, dtype=bool)
-            in_run[1:] = is_digit[1:] & is_digit[:-1]
-            okpos = ((data & 0xC0) != 0x80) & ~in_run
-            nc = np.nonzero(okpos)[0]
-            grid = np.arange(K, n, K, dtype=np.int64)
-            cuts = nc[np.searchsorted(nc, grid, side="right") - 1]
-            # keep forward progress: if backing out of a digit run moved a
-            # cut more than DIGIT_BACKUP bytes, take the raw char cut
-            ncc = np.nonzero((data & 0xC0) != 0x80)[0]
-            raw = ncc[np.searchsorted(ncc, grid, side="right") - 1]
-            cuts = np.where(raw - cuts > min(DIGIT_BACKUP, K // 2), raw, cuts)
-            cuts = np.unique(cuts)
-            cuts = cuts[(cuts > 0) & (cuts < n)]
+            cuts = _doc_cuts(data, K)
             bounds = np.concatenate([[0], cuts, [n]])
         starts = bounds[:-1]
         pay = np.diff(bounds)
