@@ -127,6 +127,26 @@ def get_vocab_and_corpus():
     return ranks, corpus
 
 
+def probe_native_backend(timeout_s: float = 240.0) -> bool:
+    """True if the native (TPU) backend initializes in a fresh
+    subprocess within the timeout. The axon tunnel can be down for
+    hours, in which case jax.devices() HANGS rather than raising — a
+    direct call here would turn the whole benchmark into a timeout.
+    Probing in a child process keeps this process clean; on failure the
+    bench falls back to the CPU backend and says so in the JSON."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print(d[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import numpy as np
 
@@ -134,8 +154,15 @@ def main() -> None:
     import tiktoken_tpu_ext.openai_public as pub
 
     ranks, corpus = get_vocab_and_corpus()
+
+    log("probing native backend...")
+    native_ok = probe_native_backend()
     import jax
 
+    if not native_ok:
+        log("NATIVE BACKEND UNAVAILABLE (tunnel down?) — CPU fallback")
+        jax.config.update("jax_platforms", "cpu")
+    platform = "tpu" if native_ok else "cpu-fallback"
     log(f"devices: {jax.devices()}")
 
     enc = tiktoken_tpu.Encoding(
@@ -163,22 +190,29 @@ def main() -> None:
     # warmup (compile the device chunk shape + build the native core);
     # worst_case=True also pre-compiles the cap-overflow retry variant so
     # a rare dense chunk can never inject a multi-minute compile into a
-    # timed section
-    log("warmup/compile...")
-    enc.warmup(worst_case=True)
-    _ = enc.encode_corpus(docs[:2], strategy="device")
-    _ = enc.encode_corpus(docs[:1], strategy="host")
-
-    log("timing device-only encode_corpus...")
+    # timed section. In cpu-fallback mode the device strategy is skipped
+    # outright: compiling the production chunk geometry on XLA:CPU takes
+    # tens of minutes (the round-2 multichip-gate lesson) and a CPU
+    # "device path" number would not describe the TPU anyway.
     dsample = docs[: max(2, len(docs) // 4)]
     dbytes = sum(len(d.encode()) for d in dsample)
     device_only_mbs = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter_ns()
-        _ = enc.encode_corpus(dsample, strategy="device")
-        t1 = time.perf_counter_ns()
-        device_only_mbs = max(device_only_mbs, dbytes / ((t1 - t0) / 1e9) / 1e6)
-    log(f"device-only: {device_only_mbs:.2f} MB/s")
+    log("warmup/compile...")
+    if native_ok:
+        enc.warmup(worst_case=True)
+        _ = enc.encode_corpus(docs[:2], strategy="device")
+    _ = enc.encode_corpus(docs[:1], strategy="host")
+
+    if native_ok:
+        log("timing device-only encode_corpus...")
+        for _ in range(2):
+            t0 = time.perf_counter_ns()
+            _ = enc.encode_corpus(dsample, strategy="device")
+            t1 = time.perf_counter_ns()
+            device_only_mbs = max(
+                device_only_mbs, dbytes / ((t1 - t0) / 1e9) / 1e6
+            )
+        log(f"device-only: {device_only_mbs:.2f} MB/s")
 
     log("timing host-only encode_corpus...")
     t0 = time.perf_counter_ns()
@@ -188,10 +222,11 @@ def main() -> None:
     log(f"host-only: {host_mbs:.2f} MB/s")
 
     log("timing encode_corpus (auto scheduling, best of 2)...")
+    strategy = "auto" if native_ok else "host"
     device_mbs = 0.0
     for _ in range(2):
         t0 = time.perf_counter_ns()
-        device_tokens = enc.encode_corpus(docs)
+        device_tokens = enc.encode_corpus(docs, strategy=strategy)
         t1 = time.perf_counter_ns()
         device_mbs = max(device_mbs, total_bytes / ((t1 - t0) / 1e9) / 1e6)
 
@@ -245,6 +280,7 @@ def main() -> None:
                 "ref_1thread": round(ref_mbs, 2),
                 "ref_8thread": round(ref8_mbs, 2),
                 "vs_ref_1thread": round(device_mbs / max(ref_mbs, 1e-9), 2),
+                "platform": platform,
             }
         )
     )
