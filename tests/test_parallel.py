@@ -107,8 +107,13 @@ def test_graft_entry_single_chip():
 
     fn, args = graft.entry()
     compiled = jax.jit(fn).lower(*args).compile()
-    packed, counts, rounds, row_bad = compiled(*args)
-    assert int(np.asarray(counts).sum()) > 0
+    # v3 contract: (flat_tokens, header = [row_counts | row_bad |
+    # n_tokens | overflow])
+    tok, header = compiled(*args)
+    header = np.asarray(header)
+    n_tokens, overflow = int(header[-2]), int(header[-1])
+    assert overflow == 0
+    assert n_tokens > 0
 
 
 def test_graft_dryrun_multichip():
