@@ -271,7 +271,15 @@ class DeviceEngine:
         self.name = name
         self.window = window
         self._jitted: dict[tuple[int, int], object] = {}
-        self._jitted2: dict[tuple[int, int], object] = {}
+        self._jitted2: dict[tuple, object] = {}
+        import threading
+
+        # XLA:CPU's backend_compile segfaults intermittently when a
+        # compile races concurrent device transfers / other compiles
+        # from fetch/upload pool threads (observed twice in suite runs,
+        # always inside backend_compile under _dispatch_chunks3); every
+        # compile that can happen on a pool thread serializes on this
+        self._jit_lock = threading.Lock()
         self._device_arrays = None
         self.stats = {"rows": 0, "fallback_docs": 0, "v1_fallback_chunks": 0}
 
@@ -388,16 +396,23 @@ class DeviceEngine:
 
     # -- public -----------------------------------------------------------
 
-    def _flat_slicer(self, size: int):
-        """jitted pow2-size prefix slicer (device-side) so the host fetches
-        only ~n_tokens values instead of the whole t_cap buffer."""
-        fn = self._jitted2.get(("slice", size))
+    def _fetch_sliced(self, arr, size: int):
+        """Device-side pow2-size prefix slice + host fetch, so the host
+        pulls only ~n_tokens values instead of the whole t_cap buffer.
+        Called from fetch pool threads: the first call per (size, shape)
+        compiles, which must not race other compiles (see _jit_lock)."""
+        key = ("slice", size, tuple(arr.shape), str(arr.dtype))
+        fn = self._jitted2.get(key)
         if fn is None:
-            import jax
+            with self._jit_lock:
+                fn = self._jitted2.get(key)
+                if fn is None:
+                    import jax
 
-            fn = jax.jit(lambda x: x[:size])
-            self._jitted2[("slice", size)] = fn
-        return fn
+                    fn = jax.jit(lambda x: x[:size])
+                    fn(arr)  # compile inside the lock
+                    self._jitted2[key] = fn
+        return np.asarray(fn(arr))
 
     def _dispatch_chunks(self, batch: PackedBatch, chunk_rows: int):
         """Dispatch all chunks to the device, then fetch headers and
@@ -439,10 +454,10 @@ class DeviceEngine:
                 if self.pack24:
                     words = (3 * nt + 3) // 4
                     size = min(int(flat.shape[0]), 1 << max(0, (words - 1)).bit_length())
-                    raw = np.asarray(self._flat_slicer(size)(flat))
+                    raw = self._fetch_sliced(flat, size)
                     return unpack_tokens24(raw, nt)
                 size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
-                return np.asarray(self._flat_slicer(size)(flat))[:nt]
+                return self._fetch_sliced(flat, size)[:nt]
 
             flats = list(pool.map(fetch_flat, range(len(pending))))
         return pending, headers, flats
@@ -648,15 +663,27 @@ class DeviceEngine:
 
         pending = []
         los = list(range(0, B, R))
+        if not los:
+            return [], C
+        # first chunk entirely on the main thread: a cache-miss compile
+        # here must not overlap the upload threads' device_puts (XLA:CPU
+        # backend_compile races concurrent transfers — segfaults)
+        inputs0, nreal0 = upload(los[0])
+        tok0, header0 = fn(
+            tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+            tables["vocab"], *inputs0,
+        )
+        pending.append([tok0, header0, nreal0, los[0]])
+        rest = los[1:]
         with ThreadPoolExecutor(max_workers=4) as upool:
             futs = {}
-            for i, lo in enumerate(los[:UPLOAD_AHEAD]):
+            for lo in rest[:UPLOAD_AHEAD]:
                 futs[lo] = upool.submit(upload, lo)
-            for i, lo in enumerate(los):
+            for i, lo in enumerate(rest):
                 inputs, nreal = futs.pop(lo).result()
                 nxt = i + UPLOAD_AHEAD
-                if nxt < len(los):
-                    futs[los[nxt]] = upool.submit(upload, los[nxt])
+                if nxt < len(rest):
+                    futs[rest[nxt]] = upool.submit(upload, rest[nxt])
                 tok, header = fn(
                     tables["scan2"], tables["buckets"], tables["byte_to_rank"],
                     tables["vocab"], *inputs,
@@ -688,10 +715,10 @@ class DeviceEngine:
                 if self.pack24:
                     words = (3 * nt + 3) // 4
                     size = min(t_cap, 1 << max(0, (words - 1)).bit_length())
-                    raw = np.asarray(self._flat_slicer(size)(tok))
+                    raw = self._fetch_sliced(tok, size)
                     return unpack_tokens24(raw, nt)
                 size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
-                return np.asarray(self._flat_slicer(size)(tok))[:nt]
+                return self._fetch_sliced(tok, size)[:nt]
 
             toks = list(pool.map(fetch, range(len(pending))))
         return [

@@ -372,15 +372,23 @@ class ShardedEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         g_los = list(range(0, B, R * n_dev))
+        # first group built on the main thread: a cache-miss compile of
+        # the sharded program must not overlap pool-thread device_puts
+        # (XLA:CPU backend_compile races concurrent transfers — segfaults)
+        first = build_group(g_los[0])
+        first_out = fn(
+            tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+            tables["vocab"], *first[0],
+        )
         upool = ThreadPoolExecutor(max_workers=4)
         futs = {
-            g: upool.submit(build_group, g) for g in g_los[:2]
+            g: upool.submit(build_group, g) for g in g_los[1:3]
         }
         for gi, g_lo in enumerate(g_los):
-            stacked, nreals = futs.pop(g_lo).result()
-            if gi + 2 < len(g_los):
-                futs[g_los[gi + 2]] = upool.submit(build_group, g_los[gi + 2])
-            flat, header = fn(
+            stacked, nreals = first if gi == 0 else futs.pop(g_lo).result()
+            if gi + 3 < len(g_los):
+                futs[g_los[gi + 3]] = upool.submit(build_group, g_los[gi + 3])
+            flat, header = first_out if gi == 0 else fn(
                 tables["scan2"], tables["buckets"], tables["byte_to_rank"],
                 tables["vocab"], *stacked,
             )
@@ -389,7 +397,11 @@ class ShardedEngine:
                 # cap overflow on some chip: re-dispatch the group through
                 # the worst-case-caps variant (compiled lazily; by
                 # construction it cannot overflow) — same behaviour as the
-                # single-device path, so dense scripts stay on device
+                # single-device path, so dense scripts stay on device.
+                # Drain in-flight uploads first: the lazy compile must not
+                # overlap pool-thread device_puts (XLA:CPU compile race).
+                for f in futs.values():
+                    f.result()
                 wfn = self._program3(C, K, worst_case=True)
                 flat, header = wfn(
                     tables["scan2"], tables["buckets"], tables["byte_to_rank"],
