@@ -13,11 +13,12 @@ mkdir -p "$OUT"
 timeout 240 python -c "import jax; print(jax.devices())" \
     > "$OUT/probe.log" 2>&1 || { echo "TUNNEL DOWN" | tee "$OUT/DOWN"; exit 1; }
 
-# 1. stage-level profile at the production geometry (the ROADMAP table)
-timeout 3600 python scripts/profile_v3.py > "$OUT/profile_v3.log" 2>&1
-
-# 2. the headline bench (64 MB, trained vocab cached under /tmp)
+# 1. the headline bench first (64 MB, trained vocab cached under /tmp):
+#    if the tunnel window closes early, this is the number that counts
 timeout 5400 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
+
+# 2. stage-level profile at the production geometry (the ROADMAP table)
+timeout 3600 python scripts/profile_v3.py > "$OUT/profile_v3.log" 2>&1
 
 # 3. geometry sweep (compile-heavy; JSON lines survive a kill)
 timeout 7200 python scripts/bench_geometry.py 16 176,256 8192,16384 \
