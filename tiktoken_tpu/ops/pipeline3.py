@@ -381,7 +381,7 @@ def build_pipeline3_fn(
         # three-route chain (catalog compact, dense byte compact, byte
         # arena route over p_cap*SLOT elements) whose round-traffic
         # dominated the measured stage costs (docs/ROADMAP.md).
-        assert C <= (1 << 14) and KL < (1 << 9), "meta packing bounds"
+        assert C * KL < (1 << 31), "meta packing bounds"
         NW_R = (KL + 3) // 4
         rows_p = rows
         if NW_R * 4 != KL:
@@ -409,11 +409,11 @@ def build_pipeline3_fn(
 
         rows_i = jnp.arange(C, dtype=jnp.int32)
         colsKL = jnp.arange(KL, dtype=jnp.int32)[None, :]
-        meta = (
-            (rows_i[:, None].astype(jnp.uint32) << 18)
-            | (colsKL.astype(jnp.uint32) << 9)
-            | spec_f[:, None].astype(jnp.uint32)
-        )
+        # meta = the flat grid index (row*KL + col): fits any chunk
+        # geometry in 32 bits; the row end (spec_f) is re-attached after
+        # compaction by one piece-rate gather instead of riding in the
+        # meta bits (which capped C at 2^14 rows)
+        meta = (rows_i[:, None] * KL + colsKL).astype(jnp.uint32)
         mask3x = jnp.concatenate(
             [mask3, jnp.zeros((C, KL - KP), bool)], axis=1
         )  # [C, KL]
@@ -425,10 +425,11 @@ def build_pipeline3_fn(
         )
         overflow = n_pieces > p_cap
         live = jnp.arange(p_cap, dtype=jnp.int32) < n_pieces
-        prow = (c_meta >> 18).astype(jnp.int32)
-        start_lo = ((c_meta >> 9) & 511).astype(jnp.int32)
-        starts = prow * KL + start_lo
-        pend = prow * KL + (c_meta & 511).astype(jnp.int32)  # row end = spec_f
+        starts = c_meta.astype(jnp.int32)
+        prow = starts // KL  # constant divisor: lowers to multiply+shift
+        pend = prow * KL + jnp.take(  # row end = spec_f, piece-rate gather
+            spec_f, jnp.clip(prow, 0, C - 1)
+        )
         nxt = jnp.concatenate([starts[1:], jnp.zeros((1,), starts.dtype)])
         nxt_row = jnp.concatenate([prow[1:], jnp.full((1,), -1, prow.dtype)])
         ends = jnp.where((nxt_row == prow) & live, nxt, pend)

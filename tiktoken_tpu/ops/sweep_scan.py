@@ -261,6 +261,20 @@ def make_char_scan_fn(tables: CharClassTables, KL: int, K: int, *,
     NPAD = (-(KL + 1)) % 4
     NPW = (KL + 1 + NPAD) // 4
 
+    import os
+
+    # Select-network lowering: "butterfly" (default) resolves both
+    # per-substep lookups in log depth — the linear where-chains issue
+    # S*NW+NW ~ 154 + NPW ~ 77 serial VPU ops per substep and the
+    # per-op issue cost (~0.3 us, HARDWARE.md) dominates at chunk-sized
+    # lane counts; the butterfly needs ~15 serial ops for the same
+    # element work. "linear" keeps the round-2 chains for A/B.
+    select_mode = os.environ.get("TIKTOKEN_TPU_SCAN_SELECT", "butterfly")
+
+    NW2 = 1 << max(1, (NW - 1).bit_length())  # word axis, pow2-padded
+    S2 = 1 << max(1, (S - 1).bit_length())  # state axis, pow2-padded
+    NPW2 = 1 << max(1, (NPW - 1).bit_length())  # class-word axis
+
     def scan(classes_ext, n_payload, n_total, is_doc_end=None):
         B = classes_ext.shape[0]
         cls_p = classes_ext.astype(jnp.uint32)
@@ -273,8 +287,19 @@ def make_char_scan_fn(tables: CharClassTables, KL: int, K: int, *,
             cw[:, :, 3] << 24
         )
         cls_cols = [packed[:, w] for w in range(NPW)]
+        if NPW2 > NPW:
+            packed_p = jnp.concatenate(
+                [packed, jnp.zeros((B, NPW2 - NPW), jnp.uint32)], axis=1
+            )
+        else:
+            packed_p = packed
+        # transition table as a device constant [S, NW2] (padding words
+        # are never selected: real class indices stay < NC <= 4*NW)
+        tbl = np.zeros((S, NW2), np.uint32)
+        tbl[:, :NW] = consts
+        CT = jnp.asarray(tbl)
 
-        def read_class(p):
+        def read_class_linear(p):
             pi = jnp.minimum(p, KL)
             wi = pi >> 2
             w = jnp.zeros((B,), jnp.uint32)
@@ -284,7 +309,22 @@ def make_char_scan_fn(tables: CharClassTables, KL: int, K: int, *,
                 jnp.int32
             )
 
-        def trans_lookup(s, c):
+        def read_class_butterfly(p):
+            pi = jnp.minimum(p, KL)
+            wi = pi >> 2
+            cur = packed_p
+            k = NPW2.bit_length() - 2
+            while cur.shape[1] > 1:
+                half = cur.shape[1] // 2
+                bit = ((wi >> k) & 1).astype(bool)[:, None]
+                cur = jnp.where(bit, cur[:, half:], cur[:, :half])
+                k -= 1
+            w = cur[:, 0]
+            return ((w >> ((pi & 3).astype(jnp.uint32) << 3)) & 0xFF).astype(
+                jnp.int32
+            )
+
+        def trans_lookup_linear(s, c):
             # stage 1: the state's NW packed row words
             words = []
             for w in range(NW):
@@ -299,6 +339,42 @@ def make_char_scan_fn(tables: CharClassTables, KL: int, K: int, *,
                 wsel = jnp.where(wi == w, words[w], wsel)
             return ((wsel >> ((c & 3).astype(jnp.uint32) << 3)) & 0xFF).astype(
                 jnp.int32
+            )
+
+        def trans_lookup_butterfly(s, c):
+            # word by class>>2 over the constant [S, NW2] (keeps the
+            # narrow real state count through the wide rounds) ...
+            wc = (c >> 2).astype(jnp.uint32)
+            cur = jnp.broadcast_to(CT[None], (B, S, NW2))
+            k = NW2.bit_length() - 2
+            while cur.shape[2] > 1:
+                half = cur.shape[2] // 2
+                bit = ((wc >> k) & 1).astype(bool)[:, None, None]
+                cur = jnp.where(bit, cur[:, :, half:], cur[:, :, :half])
+                k -= 1
+            col = cur[:, :, 0]  # [B, S]
+            # ... then state over the pow2-padded column
+            if S2 > S:
+                col = jnp.concatenate(
+                    [col, jnp.zeros((B, S2 - S), jnp.uint32)], axis=1
+                )
+            su = s.astype(jnp.uint32)
+            k = S2.bit_length() - 2
+            while col.shape[1] > 1:
+                half = col.shape[1] // 2
+                bit = ((su >> k) & 1).astype(bool)[:, None]
+                col = jnp.where(bit, col[:, half:], col[:, :half])
+                k -= 1
+            w = col[:, 0]
+            return ((w >> ((c & 3).astype(jnp.uint32) << 3)) & 0xFF).astype(
+                jnp.int32
+            )
+
+        if select_mode == "linear":
+            read_class, trans_lookup = read_class_linear, trans_lookup_linear
+        else:
+            read_class, trans_lookup = (
+                read_class_butterfly, trans_lookup_butterfly,
             )
 
         def substep(p, s, mstart, lend, cs, done, bad, mw, f):
