@@ -77,7 +77,7 @@ def main():
     )
 
     prev = 0.0
-    for stop in ("hit", "nomerge", None):
+    for stop in ("classes", "scan", "catalog", "hit", "nomerge", None):
         t0 = time.perf_counter()
         fn = jax.jit(p3.build_pipeline3_fn(stage_stop=stop, **kw))
         args0 = (
@@ -107,6 +107,14 @@ def main():
             flush=True,
         )
         prev = ms_chunk
+        if stop is None:
+            for i, o in enumerate(outs):
+                h = np.asarray(o[1][-5:])
+                print(
+                    f"  chunk {i}: pieces={h[0]} miss={h[1]} long={h[2]} "
+                    f"tokens={h[3]} overflow={h[4]}",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

@@ -351,10 +351,28 @@ def build_pipeline3_fn(
         rows = row_gather(flat, row_off)  # [C, KL] u8
 
         cls, na_overflow = classes_fn(page_planes, mixed_t, rows, n_total)
+        if stage_stop == "classes":  # profiling bisect point
+            return (
+                jnp.zeros((4,), jnp.uint32).at[0].set(
+                    cls.astype(jnp.uint32).sum()
+                ),
+                jnp.zeros((2 * C + 2,), jnp.int32).at[0].set(
+                    na_overflow.astype(jnp.int32)
+                ),
+            )
         cls_ext = jnp.concatenate(
             [cls, jnp.full((C, 1), eof_cls, cls.dtype)], axis=1
         )
         mask, spec_f, row_bad = scan_fn(cls_ext, n_payload, n_total, is_doc_end)
+        if stage_stop == "scan":  # profiling bisect point
+            return (
+                jnp.zeros((4,), jnp.uint32).at[0].set(
+                    mask.sum() + spec_f.sum().astype(jnp.uint32)
+                ),
+                jnp.zeros((2 * C + 2,), jnp.int32).at[0].set(
+                    row_bad.sum().astype(jnp.int32)
+                ),
+            )
 
         # ---- handshake validation (device-side, batch shift) --------------
         z1 = jnp.zeros((1,), jnp.int32)
@@ -423,6 +441,14 @@ def build_pipeline3_fn(
              wshift(12)],
             p_cap,
         )
+        if stage_stop == "catalog":  # profiling bisect point
+            return (
+                jnp.zeros((4,), jnp.uint32).at[0].set(
+                    c_meta.sum() + sw0.sum() + sw1.sum() + sw2.sum()
+                    + sw3.sum()
+                ),
+                jnp.zeros((2 * C + 2,), jnp.int32).at[0].set(n_pieces),
+            )
         overflow = n_pieces > p_cap
         live = jnp.arange(p_cap, dtype=jnp.int32) < n_pieces
         starts = c_meta.astype(jnp.int32)
@@ -577,10 +603,15 @@ def build_pipeline3_fn(
                 bytes3.reshape(-1, 4), jnp.uint32
             )
 
+        # density telemetry (cap tuning / profiling; engine consumers
+        # index [:C], [C:2C], [-2], [-1] so inserting here is compatible)
         header = jnp.concatenate(
             [
                 row_counts,
                 row_bad.astype(jnp.int32),
+                n_pieces[None].astype(jnp.int32),
+                n_miss[None].astype(jnp.int32),
+                n_long[None].astype(jnp.int32),
                 n_tokens[None].astype(jnp.int32),
                 overflow.astype(jnp.int32)[None],
             ]
