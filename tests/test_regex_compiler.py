@@ -126,3 +126,60 @@ def test_artifact_cache_roundtrip(tmp_path, monkeypatch):
     assert split_pieces(d2, "hello world it's 42".encode()) == [
         b"hello", b" world", b" it", b"'s", b" 42"
     ]
+
+
+# ---------------------------------------------------------------------------
+# Extended dialect: \d \D \w \W and the `.` wildcard (custom pat_str support;
+# reference accepts any fancy_regex pattern, src/lib.rs:623)
+# ---------------------------------------------------------------------------
+
+_DIALECT_PATS = [
+    r"\d+|\w+|\s+|.",
+    r"'(?i:[sdmt]|ll|ve|re)|\w+|\d{1,3}|[^\s\w]+|\s+",
+    r"\W+|\w+",
+    r"\D+|\d+",
+]
+
+
+@pytest.mark.parametrize("pat", _DIALECT_PATS)
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(text=_texts)
+def test_dialect_vs_reference(pat, text):
+    """\\d/\\w/\\D/\\W/. compile to the reference engine's exact sets
+    (word_set is probed from the installed reference; \\d is \\p{Nd}).
+
+    Byte coverage: with a byte-rank vocab every reference token is one
+    byte, so decoding the reference's ids must reproduce the input and
+    our piece concatenation must match. Boundary positions: checked via
+    merge-sensitive end-to-end parity in test_dialect_encode_parity."""
+    import tiktoken
+
+    ranks = {bytes([i]): i for i in range(256)}
+    ref = tiktoken.Encoding("ref", pat_str=pat, mergeable_ranks=ranks,
+                            special_tokens={})
+    dfa = compile_pattern_cached(pat)
+    got = split_pieces(dfa, text.encode())
+    assert b"".join(got) == bytes(ref.encode_ordinary(text)) == text.encode()
+
+
+@pytest.mark.parametrize("pat", _DIALECT_PATS)
+def test_dialect_encode_parity(pat):
+    """End-to-end token-id parity on a trained vocab: merges depend on
+    piece boundaries, so agreement here pins the split positions too."""
+    import tiktoken
+
+    import tiktoken_tpu
+
+    from .helpers import trained_ranks
+
+    ranks = trained_ranks("o200k", 512)
+    ref = tiktoken.Encoding("ref", pat_str=pat, mergeable_ranks=ranks,
+                            special_tokens={})
+    ours = tiktoken_tpu.Encoding("ours", pat_str=pat, mergeable_ranks=ranks,
+                                 special_tokens={})
+    for seed in range(4):
+        s = make_mixed_corpus(1500, seed=seed)
+        assert ours.encode_ordinary(s) == ref.encode_ordinary(s)
+    for s in ["", ".", "a.b", "ab_cd", "x\u0301y", "a\nb.c", "123٤٥٦ ÅΩ",
+              "\u200d\u200c", "don't 'll"]:
+        assert ours.encode_ordinary(s) == ref.encode_ordinary(s), repr(s)

@@ -185,6 +185,8 @@ class _Parser:
             return Lit(self._char_class(ci))
         if ch == "\\":
             return Lit(self._escape_class(self._take(), ci))
+        if ch == ".":
+            return Lit(ut.dot_set())
         if ch in "*+?{":
             raise PatternError(f"dangling quantifier {ch!r}")
         return Lit(self._literal(ord(ch), ci))
@@ -195,6 +197,8 @@ class _Parser:
             return self._escape_class(self._take(), ci)
         if ch == "[":
             return self._char_class(ci)
+        if ch == ".":
+            return ut.dot_set()
         return self._literal(ord(ch), ci)
 
     def _literal(self, cp: int, ci: bool) -> ut.IntervalSet:
@@ -217,6 +221,12 @@ class _Parser:
             return self._literal(_ESCAPE_CHARS[esc], ci)
         if esc == "d":
             return ut.category_set("Nd")
+        if esc == "D":
+            return ut.negate(ut.category_set("Nd"))
+        if esc == "w":
+            return ut.word_set()
+        if esc == "W":
+            return ut.negate(ut.word_set())
         raise PatternError(f"unsupported escape \\{esc}")
 
     def _char_class(self, ci: bool) -> ut.IntervalSet:
@@ -870,9 +880,18 @@ def compile_pattern_chars(pat_str: str, *, minimize: bool = True) -> CharScanner
 
     trans, accept, sym_class = _tables_from_nfa(nfa, start, n_symbols)
     # Column dedup: segments with identical transition columns are one
-    # class (e.g. the ~650 \p{Lu} intervals collapse to one).
-    cols, colmap = np.unique(trans.T, axis=0, return_inverse=True)
-    trans = cols.T.astype(trans.dtype)
+    # class (e.g. the ~650 \p{Lu} intervals collapse to one). EOF's
+    # column gets a unique tag row so no real codepoint segment can ever
+    # merge with it — the scan kernel keys its end-rewind handling on
+    # eof_class, and patterns that match every scalar value (e.g. a
+    # custom "...|.") would otherwise fold the all-dead surrogate
+    # segment into EOF.
+    eof_tag = np.zeros((1, trans.shape[1]), trans.dtype)
+    eof_tag[0, int(sym_class[eof_symbol])] = 1
+    cols, colmap = np.unique(
+        np.concatenate([trans, eof_tag], axis=0).T, axis=0, return_inverse=True
+    )
+    trans = cols[:, :-1].T.astype(trans.dtype)
     sym_class = colmap[sym_class.astype(np.int64)].astype(np.uint16)
     dfa = CharScannerDFA(
         trans=trans,
