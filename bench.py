@@ -194,41 +194,50 @@ def main() -> None:
     # outright: compiling the production chunk geometry on XLA:CPU takes
     # tens of minutes (the round-2 multichip-gate lesson) and a CPU
     # "device path" number would not describe the TPU anyway.
-    dsample = docs[: max(2, len(docs) // 4)]
-    dbytes = sum(len(d.encode()) for d in dsample)
-    device_only_mbs = 0.0
+    import statistics
+
     log("warmup/compile...")
     if native_ok:
         enc.warmup(worst_case=True)
         _ = enc.encode_corpus(docs[:2], strategy="device")
     _ = enc.encode_corpus(docs[:1], strategy="host")
 
-    if native_ok:
-        log("timing device-only encode_corpus...")
-        for _ in range(2):
+    # every configuration: median of 3 runs over the IDENTICAL full
+    # corpus (a best-of on a sub-sample is neither reproducible nor
+    # comparable run-to-run)
+    def timed(strategy: str, n: int = 3, numpy_out: bool = False):
+        rates, result = [], None
+        for _ in range(n):
             t0 = time.perf_counter_ns()
-            _ = enc.encode_corpus(dsample, strategy="device")
+            if numpy_out:
+                result = enc.encode_corpus_to_numpy(docs, strategy=strategy)
+            else:
+                result = enc.encode_corpus(docs, strategy=strategy)
             t1 = time.perf_counter_ns()
-            device_only_mbs = max(
-                device_only_mbs, dbytes / ((t1 - t0) / 1e9) / 1e6
-            )
+            rates.append(total_bytes / ((t1 - t0) / 1e9) / 1e6)
+        return statistics.median(rates), result
+
+    device_only_mbs = 0.0
+    if native_ok:
+        log("timing device-only encode_corpus (median of 3)...")
+        device_only_mbs, _r = timed("device")
         log(f"device-only: {device_only_mbs:.2f} MB/s")
 
-    log("timing host-only encode_corpus...")
-    t0 = time.perf_counter_ns()
-    _ = enc.encode_corpus(dsample, strategy="host")
-    t1 = time.perf_counter_ns()
-    host_mbs = dbytes / ((t1 - t0) / 1e9) / 1e6
+    log("timing host-only encode_corpus (median of 3)...")
+    host_mbs, _r = timed("host")
     log(f"host-only: {host_mbs:.2f} MB/s")
 
-    log("timing encode_corpus (auto scheduling, best of 2)...")
-    strategy = "auto" if native_ok else "host"
-    device_mbs = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter_ns()
-        device_tokens = enc.encode_corpus(docs, strategy=strategy)
-        t1 = time.perf_counter_ns()
-        device_mbs = max(device_mbs, total_bytes / ((t1 - t0) / 1e9) / 1e6)
+    log("timing host encode_corpus_to_numpy (median of 3)...")
+    host_numpy_mbs, _r = timed("host", numpy_out=True)
+    log(f"host-numpy: {host_numpy_mbs:.2f} MB/s")
+
+    strategy = enc.resolve_corpus_strategy("auto" if native_ok else "host")
+    log(f"timing encode_corpus (auto -> {strategy}, median of 3)...")
+    device_mbs, device_tokens = timed(strategy)
+
+    log(f"timing encode_corpus_to_numpy (auto -> {strategy}, median of 3)...")
+    numpy_mbs, _r = timed(strategy, numpy_out=True)
+    log(f"auto-numpy: {numpy_mbs:.2f} MB/s")
 
     # parity spot check vs the reference library on a sample
     import tiktoken
@@ -277,10 +286,15 @@ def main() -> None:
                 "vs_baseline": round(device_mbs / max(ref_mbs, ref8_mbs, 1e-9), 2),
                 "device_only": round(device_only_mbs, 2),
                 "host_only": round(host_mbs, 2),
+                "host_numpy": round(host_numpy_mbs, 2),
+                "numpy_out": round(numpy_mbs, 2),
                 "ref_1thread": round(ref_mbs, 2),
                 "ref_8thread": round(ref8_mbs, 2),
                 "vs_ref_1thread": round(device_mbs / max(ref_mbs, 1e-9), 2),
                 "platform": platform,
+                "resolved_strategy": strategy,
+                "corpus_mb": round(total_bytes / 1e6, 1),
+                "timing": "median of 3, identical full corpus for all rows",
             }
         )
     )

@@ -82,10 +82,20 @@ class Encoding:
         """The TPU pipeline for this encoding (built lazily and cached)."""
         if self._device_engine is None:
             from tiktoken_tpu.ops.engine import DeviceEngine
+            from tiktoken_tpu.ops.regex_compiler import PatternError
 
-            self._device_engine = DeviceEngine.build(
-                self._pat_str, self._mergeable_ranks, name=self.name
-            )
+            try:
+                self._device_engine = DeviceEngine.build(
+                    self._pat_str, self._mergeable_ranks, name=self.name
+                )
+            except PatternError as e:
+                raise PatternError(
+                    f"pat_str {self._pat_str!r} uses a construct outside "
+                    f"the device scanner's dialect ({e}). Encode on the "
+                    "host instead: encode_ordinary / encode_batch, or "
+                    'encode_corpus(..., strategy="host") — host paths '
+                    "accept any pattern the regex module compiles."
+                ) from e
         return self._device_engine
 
     def warmup(self, **kwargs) -> None:
@@ -252,7 +262,7 @@ class Encoding:
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(encoder, text))
 
-    def _device_encode(self, texts, row_capacity=None):
+    def _device_encode(self, texts, row_capacity=None, as_numpy=False):
         """Route to the newest device pipeline: v3 (handshake rows,
         ops/pipeline3) when char-level tables are enabled, else v2.
         TIKTOKEN_TPU_PIPELINE=2 forces v2."""
@@ -264,10 +274,44 @@ class Encoding:
             and os.environ.get("TIKTOKEN_TPU_PIPELINE", "3") != "2"
         ):
             return eng.encode_corpus3(
-                texts, host_fallback=self._core_bpe, K=row_capacity
+                texts, host_fallback=self._core_bpe, K=row_capacity,
+                as_numpy=as_numpy,
             )
         kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
-        return eng.encode_corpus(texts, host_fallback=self._core_bpe, **kwargs)
+        out = eng.encode_corpus(texts, host_fallback=self._core_bpe, **kwargs)
+        if as_numpy:
+            import numpy as np
+
+            out = [np.asarray(x, dtype=np.uint32) for x in out]
+        return out
+
+    def resolve_corpus_strategy(
+        self, strategy: str = "auto", *, device: bool = True
+    ) -> str:
+        """The concrete engine strategy ``encode_corpus`` will run.
+
+        "auto" resolves to "hybrid" whenever both the native host core
+        and a non-CPU accelerator are present: the shared work queue
+        self-balances to each engine's actual speed, and the host
+        worker's C call releases the GIL, so even a single-core host
+        wins by overlapping CPU with device time (measured: hybrid 41
+        vs host-only 21 MB/s on a 1-core box). Hosts whose JAX backend
+        is CPU-only run host-only — compiling the production chunk
+        geometry on XLA:CPU takes tens of minutes and contributes
+        nothing. Hosts without a C++ toolchain run device-only."""
+        if strategy != "auto":
+            return strategy
+        if not device:
+            return "host"
+        if not self._core_bpe._native_core():
+            return "device"
+        try:
+            import jax
+
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"
+        return "host" if platform == "cpu" else "hybrid"
 
     def encode_corpus(
         self,
@@ -280,11 +324,12 @@ class Encoding:
         """Encodes a large batch of documents at maximum node throughput.
 
         ``strategy``:
-          - "auto" (default): pick per node. Single-core hosts with the
-            native core run host-only (a device worker's Python
-            orchestration would steal more GIL time from the host engine
-            than the device contributes); multi-core hosts run hybrid;
-            hosts without a compiler run the device pipeline.
+          - "auto" (default): pick per node — see
+            ``resolve_corpus_strategy``. Hosts with both engines run
+            hybrid (the queue self-balances, and the host worker's C
+            call releases the GIL, so CPU and device overlap even on
+            one core); CPU-only JAX backends run host-only; hosts
+            without a C++ toolchain run the device pipeline.
           - "hybrid": device pipeline and the native host core pull
             documents from a shared queue concurrently — the host worker's
             ctypes call releases the GIL, so CPU and TPU overlap and the
@@ -294,28 +339,76 @@ class Encoding:
 
         All strategies are byte-exact with ``encode_ordinary``.
         """
-        native = self._core_bpe._native_core()
-        if strategy == "auto":
-            import os as _os
+        return self._encode_corpus_impl(
+            texts, device=device, row_capacity=row_capacity,
+            strategy=strategy, numpy_out=False,
+        )
 
-            if not native:
-                strategy = "device"
-            elif (_os.cpu_count() or 1) <= 1:
+    def encode_corpus_to_numpy(
+        self,
+        texts: Sequence[str] | Sequence[bytes],
+        *,
+        device: bool = True,
+        row_capacity: int | None = None,
+        strategy: str = "auto",
+    ):
+        """``encode_corpus`` with array output: ``(tokens, offsets)``
+        where document ``i``'s ids are ``tokens[offsets[i]:offsets[i+1]]``
+        (uint32 / int64).
+
+        At corpus scale the ``list[list[int]]`` return of
+        ``encode_corpus`` costs more than the tokenization itself
+        (tens of millions of PyLongs + GC churn); this is the
+        corpus-size analog of ``encode_to_numpy``
+        (reference: tiktoken/core.py:138-162, src/py.rs:186-248)."""
+        import numpy as np
+
+        per_doc = self._encode_corpus_impl(
+            texts, device=device, row_capacity=row_capacity,
+            strategy=strategy, numpy_out=True,
+        )
+        offsets = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum([len(a) for a in per_doc], out=offsets[1:])
+        tokens = (
+            np.concatenate(per_doc).astype(np.uint32, copy=False)
+            if per_doc else np.empty(0, np.uint32)
+        )
+        return tokens, offsets
+
+    def _encode_corpus_impl(
+        self, texts, *, device, row_capacity, strategy, numpy_out
+    ):
+        import numpy as np
+
+        native = self._core_bpe._native_core()
+        was_auto = strategy == "auto"
+        strategy = self.resolve_corpus_strategy(strategy, device=device)
+        if was_auto and strategy in ("device", "hybrid"):
+            from tiktoken_tpu.ops.regex_compiler import PatternError
+
+            try:
+                self.device_engine
+            except PatternError:
+                # custom pattern outside the device dialect: auto quietly
+                # keeps the corpus on the host engines (explicit
+                # strategy="device" propagates the actionable error)
                 strategy = "host"
-            else:
-                strategy = "hybrid"
         if not device or strategy == "host":
             import os as _os
 
+            docs = [t if isinstance(t, str) else t.decode("utf-8") for t in texts]
             # the native batch path threads below the GIL: use every core
             # (matches the reference's own best multi-threaded config)
-            return self.encode_ordinary_batch(
-                [t if isinstance(t, str) else t.decode("utf-8") for t in texts],
-                num_threads=max(1, min(32, _os.cpu_count() or 1)),
-            )
-        kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
+            n_thr = max(1, min(32, _os.cpu_count() or 1))
+            if numpy_out and native:
+                flat, offs = native.encode_ordinary_batch_arrays(docs, n_thr)
+                return [flat[offs[d] : offs[d + 1]] for d in range(len(docs))]
+            got = self.encode_ordinary_batch(docs, num_threads=n_thr)
+            if numpy_out:
+                got = [np.asarray(x, dtype=np.uint32) for x in got]
+            return got
         if strategy == "device" or not native:
-            return self._device_encode(texts, row_capacity)
+            return self._device_encode(texts, row_capacity, as_numpy=numpy_out)
 
         # hybrid: shared work queue, one device worker + one host worker
         import queue
@@ -341,14 +434,20 @@ class Encoding:
                         break
                 if not idxs:
                     return
-                got = self.encode_ordinary_batch(
-                    [
-                        texts[i] if isinstance(texts[i], str)
-                        else texts[i].decode("utf-8")
-                        for i in idxs
-                    ],
-                    num_threads=n_thr,
-                )
+                docs = [
+                    texts[i] if isinstance(texts[i], str)
+                    else texts[i].decode("utf-8")
+                    for i in idxs
+                ]
+                if numpy_out and native:
+                    flat, offs = native.encode_ordinary_batch_arrays(docs, n_thr)
+                    got = [flat[offs[d] : offs[d + 1]] for d in range(len(docs))]
+                else:
+                    got = self.encode_ordinary_batch(docs, num_threads=n_thr)
+                    if numpy_out:
+                        import numpy as _np
+
+                        got = [_np.asarray(x, dtype=_np.uint32) for x in got]
                 for i, toks in zip(idxs, got):
                     out[i] = toks
 
@@ -381,7 +480,10 @@ class Encoding:
                 if not idxs:
                     return
                 try:
-                    got = self._device_encode([texts[i] for i in idxs], row_capacity)
+                    got = self._device_encode(
+                        [texts[i] for i in idxs], row_capacity,
+                        as_numpy=numpy_out,
+                    )
                     for i, toks in zip(idxs, got):
                         out[i] = toks
                 except Exception:
@@ -396,9 +498,10 @@ class Encoding:
         for i, toks in enumerate(out):
             if toks is None:
                 t = texts[i]
-                out[i] = self.encode_ordinary(
+                got = self.encode_ordinary(
                     t if isinstance(t, str) else t.decode("utf-8")
                 )
+                out[i] = np.asarray(got, dtype=np.uint32) if numpy_out else got
         return out
 
     def encode_with_unstable(

@@ -235,13 +235,21 @@ class NativeCore:
             raise KeyError(int(ids[-1 - r]))
         return buf.raw[:r]
 
-    def encode_ordinary_batch(self, texts, num_threads: int = 8):
-        """Natively threaded batch encode: one C call, the thread pool
-        lives below the language boundary (no Python thread overhead)."""
+    def encode_ordinary_batch_arrays(
+        self, texts, num_threads: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Natively threaded batch encode with array output: one C call,
+        the thread pool lives below the language boundary, and the result
+        is ``(tokens, offsets)`` — document ``i``'s ids are
+        ``tokens[offsets[i]:offsets[i+1]]`` (uint32 / int64). No Python
+        int materialization: at corpus scale the per-token PyLong +
+        list-of-lists churn costs more than the tokenization itself
+        (the corpus-size analog of the reference's zero-copy buffer,
+        reference: src/py.rs:186-248)."""
         datas = [t.encode("utf-8") for t in texts]
         n = len(datas)
         if n == 0:
-            return []
+            return np.empty(0, np.uint32), np.zeros(1, np.int64)
         doc_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(d) for d in datas], out=doc_offs[1:])
         blob = b"".join(datas)
@@ -256,10 +264,20 @@ class NativeCore:
         )
         if rc != 0:
             raise RuntimeError("native batch encode failed")
-        res = []
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        flat = np.empty(int(offs[-1]), dtype=np.uint32)
         for d in range(n):
-            toks = out[out_offs[d] : out_offs[d] + counts[d]]
-            if len(toks) and toks.max() == 0xFFFFFFFF:
-                raise RuntimeError("native encode failed")
-            res.append(toks.tolist())
-        return res
+            flat[offs[d] : offs[d + 1]] = out[out_offs[d] : out_offs[d] + counts[d]]
+        # the error sentinel (RANK_MAX) can never be a real token id
+        if flat.size and int(flat.max()) == 0xFFFFFFFF:
+            raise RuntimeError("native encode failed")
+        return flat, offs
+
+    def encode_ordinary_batch(self, texts, num_threads: int = 8):
+        """Natively threaded batch encode: one C call, the thread pool
+        lives below the language boundary (no Python thread overhead)."""
+        flat, offs = self.encode_ordinary_batch_arrays(texts, num_threads)
+        return [
+            flat[offs[d] : offs[d + 1]].tolist() for d in range(len(offs) - 1)
+        ]

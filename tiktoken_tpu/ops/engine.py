@@ -727,10 +727,13 @@ class DeviceEngine:
         ], C
 
     def encode_corpus3(self, texts, host_fallback=None, K: int | None = None,
-                       chunk_rows: int | None = None):
+                       chunk_rows: int | None = None, as_numpy: bool = False):
         """Handshake-packed device encode: byte-exact with
         encode_ordinary, script-agnostic row packing (no safe-split
-        rules), corpus bytes uploaded once."""
+        rules), corpus bytes uploaded once.
+
+        ``as_numpy=True`` returns per-document uint32 arrays instead of
+        Python int lists (no PyLong materialization at corpus scale)."""
         from tiktoken_tpu.ops.pipeline3 import K_DEFAULT, pack_corpus3
 
         # K is a packing-granularity hint; the compiled scan's cost grows
@@ -777,9 +780,8 @@ class DeviceEngine:
         for doc, parts in frags.items():
             if doc in fallback_docs:
                 continue
-            out[doc] = (
-                parts[0] if len(parts) == 1 else np.concatenate(parts)
-            ).tolist()
+            arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            out[doc] = arr if as_numpy else arr.tolist()
         self.stats["rows"] += B
         if fallback_docs:
             self.stats["fallback_docs"] += len(fallback_docs)
@@ -788,7 +790,13 @@ class DeviceEngine:
                     f"{len(fallback_docs)} documents need host fallback but none given"
                 )
             for d_i in fallback_docs:
-                out[d_i] = host_fallback.encode_ordinary(docs[d_i].decode("utf-8"))
+                toks = host_fallback.encode_ordinary(docs[d_i].decode("utf-8"))
+                out[d_i] = np.asarray(toks, dtype=np.uint32) if as_numpy else toks
+        if as_numpy:
+            out = [
+                x if isinstance(x, np.ndarray) else np.asarray(x, dtype=np.uint32)
+                for x in out
+            ]
         return out
 
     def encode_corpus(self, texts, host_fallback=None, row_capacity: int = DEFAULT_ROW):
