@@ -8,7 +8,7 @@ Differences attribute compute to (front end) / (assembly+routes) /
 (merge loops), free of fetch-size confounds (stage_stop outputs are
 scalar headers).
 
-Usage: python scripts/profile_stops.py [MB] [K] [C]
+Usage: python scripts/profile_stops.py [MB] [K] [C] [stops,...]
 """
 
 from __future__ import annotations
@@ -76,8 +76,13 @@ def main():
         pack24=engine.pack24,
     )
 
+    stops: tuple = ("classes", "scan", "catalog", "hit", "nomerge", None)
+    if len(sys.argv) > 4:  # comma-separated subset, "full" = None
+        stops = tuple(
+            None if s == "full" else s for s in sys.argv[4].split(",")
+        )
     prev = 0.0
-    for stop in ("classes", "scan", "catalog", "hit", "nomerge", None):
+    for stop in stops:
         t0 = time.perf_counter()
         fn = jax.jit(p3.build_pipeline3_fn(stage_stop=stop, **kw))
         args0 = (

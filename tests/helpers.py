@@ -18,6 +18,9 @@ import os
 import random
 
 MAX_EXAMPLES: int = int(os.environ.get("TIKTOKEN_TPU_MAX_EXAMPLES", "100"))
+# Opt-in slow tier: extra geometries + heavyweight XLA:CPU compiles
+# (each distinct (C, K, variant) program costs minutes on a 1-core box)
+FULL_TESTS: bool = os.environ.get("TIKTOKEN_TPU_FULL_TESTS") == "1"
 
 SPECIAL_TOKENS_TEMPLATE = ("<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|fim_prefix|>")
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from tests.helpers import MAX_EXAMPLES, make_encoding, make_mixed_corpus
+from tests.helpers import FULL_TESTS, make_encoding, make_mixed_corpus
 
 CJK = "東京タワーは高い。パリは花の都、そして京都は古都です。春はあけぼの、やうやう白くなりゆく山際。"
 CYR = "Широкая электрификация южных губерний даст мощный толчок подъёму сельского хозяйства. Съешь же ещё этих мягких французских булок, да выпей чаю! "
@@ -19,7 +19,7 @@ def enc():
     return make_encoding("o200k", 800)
 
 
-def _check(enc, texts, K=96, chunk_rows=64, expect_no_fallback=False):
+def _check(enc, texts, K=96, chunk_rows=8, expect_no_fallback=False):
     eng = enc.device_engine
     before = eng.stats["fallback_docs"]
     got = eng.encode_corpus3(
@@ -70,8 +70,10 @@ def test_dense_small_pieces_worst_case_retry(enc):
     eng = enc.device_engine
     before = eng.stats["fallback_docs"]
     texts = ["1a" * 600, "? " * 300]
-    got = eng.encode_corpus3(texts, host_fallback=enc._core_bpe, K=64,
-                             chunk_rows=32)
+    # module geometry (96, 64): the normal variant's program is shared
+    # with the other tests; only the worst-case retry compiles fresh
+    got = eng.encode_corpus3(texts, host_fallback=enc._core_bpe, K=96,
+                             chunk_rows=8)
     want = [enc.encode_ordinary(t) for t in texts]
     assert got == want
     assert eng.stats["fallback_docs"] == before
@@ -81,7 +83,7 @@ def test_chunk_seams_and_geometries(enc):
     # docs span many chunks; odd chunk_rows and K exercise ghost seams
     docs = [make_mixed_corpus(2500, seed=9), CJK * 20,
             make_mixed_corpus(900, seed=10)]
-    for K, cr in [(80, 16), (112, 8)]:
+    for K, cr in [(80, 16), (112, 8)] if FULL_TESTS else [(80, 8)]:
         _check(enc, docs, K=K, chunk_rows=cr)
 
 
@@ -134,6 +136,13 @@ def test_long_vocab_table_build_and_probe():
     assert got[-1] == MISS
 
 
+@pytest.mark.skipif(
+    not FULL_TESTS,
+    reason="multi-minute XLA:CPU compile; kernel-level midcompact parity "
+    "(fit + overflow) is covered by "
+    "test_pipeline2.py::test_slot_merge_matches_sequential "
+    "(set TIKTOKEN_TPU_FULL_TESTS=1 for the end-to-end variant)",
+)
 def test_midcompact_merge_end_to_end(monkeypatch):
     # the two-phase merge is the TPU default but off on CPU; force it on
     # through the full v3 pipeline and require byte-exact parity
@@ -156,6 +165,7 @@ def test_midcompact_merge_end_to_end(monkeypatch):
 
 
 def test_encode_corpus_routes_v3(enc):
-    got = enc.encode_corpus([CJK * 10, "hello world"], strategy="device")
+    got = enc.encode_corpus([CJK * 10, "hello world"], strategy="device",
+                            row_capacity=96, chunk_rows=8)
     assert got == [enc.encode_ordinary(CJK * 10),
                    enc.encode_ordinary("hello world")]

@@ -262,7 +262,8 @@ class Encoding:
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(encoder, text))
 
-    def _device_encode(self, texts, row_capacity=None, as_numpy=False):
+    def _device_encode(self, texts, row_capacity=None, as_numpy=False,
+                       chunk_rows=None):
         """Route to the newest device pipeline: v3 (handshake rows,
         ops/pipeline3) when char-level tables are enabled, else v2.
         TIKTOKEN_TPU_PIPELINE=2 forces v2."""
@@ -275,7 +276,7 @@ class Encoding:
         ):
             return eng.encode_corpus3(
                 texts, host_fallback=self._core_bpe, K=row_capacity,
-                as_numpy=as_numpy,
+                as_numpy=as_numpy, chunk_rows=chunk_rows,
             )
         kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
         out = eng.encode_corpus(texts, host_fallback=self._core_bpe, **kwargs)
@@ -320,6 +321,7 @@ class Encoding:
         device: bool = True,
         row_capacity: int | None = None,
         strategy: str = "auto",
+        chunk_rows: int | None = None,
     ) -> list[list[int]]:
         """Encodes a large batch of documents at maximum node throughput.
 
@@ -341,7 +343,7 @@ class Encoding:
         """
         return self._encode_corpus_impl(
             texts, device=device, row_capacity=row_capacity,
-            strategy=strategy, numpy_out=False,
+            strategy=strategy, numpy_out=False, chunk_rows=chunk_rows,
         )
 
     def encode_corpus_to_numpy(
@@ -351,6 +353,7 @@ class Encoding:
         device: bool = True,
         row_capacity: int | None = None,
         strategy: str = "auto",
+        chunk_rows: int | None = None,
     ):
         """``encode_corpus`` with array output: ``(tokens, offsets)``
         where document ``i``'s ids are ``tokens[offsets[i]:offsets[i+1]]``
@@ -365,7 +368,7 @@ class Encoding:
 
         per_doc = self._encode_corpus_impl(
             texts, device=device, row_capacity=row_capacity,
-            strategy=strategy, numpy_out=True,
+            strategy=strategy, numpy_out=True, chunk_rows=chunk_rows,
         )
         offsets = np.zeros(len(per_doc) + 1, dtype=np.int64)
         np.cumsum([len(a) for a in per_doc], out=offsets[1:])
@@ -376,7 +379,8 @@ class Encoding:
         return tokens, offsets
 
     def _encode_corpus_impl(
-        self, texts, *, device, row_capacity, strategy, numpy_out
+        self, texts, *, device, row_capacity, strategy, numpy_out,
+        chunk_rows=None,
     ):
         import numpy as np
 
@@ -408,7 +412,9 @@ class Encoding:
                 got = [np.asarray(x, dtype=np.uint32) for x in got]
             return got
         if strategy == "device" or not native:
-            return self._device_encode(texts, row_capacity, as_numpy=numpy_out)
+            return self._device_encode(
+                texts, row_capacity, as_numpy=numpy_out, chunk_rows=chunk_rows
+            )
 
         # hybrid: shared work queue, one device worker + one host worker
         import queue
@@ -482,7 +488,7 @@ class Encoding:
                 try:
                     got = self._device_encode(
                         [texts[i] for i in idxs], row_capacity,
-                        as_numpy=numpy_out,
+                        as_numpy=numpy_out, chunk_rows=chunk_rows,
                     )
                     for i, toks in zip(idxs, got):
                         out[i] = toks

@@ -285,6 +285,16 @@ class DeviceEngine:
 
     @staticmethod
     def build(pat_str: str, mergeable_ranks: dict[bytes, int], *, name: str = "?"):
+        # the assembly stage flags single-piece tokens in bit 31 of the
+        # expand payload (ops/pipeline3.py), so device-handled vocabs
+        # need rank values below 2^31 (every real vocabulary is dense
+        # and far below this; the host engines have no such bound)
+        max_rank = max(mergeable_ranks.values(), default=0)
+        if max_rank >= 1 << 31:
+            raise ValueError(
+                f"device engine requires token ranks < 2**31 (got "
+                f"{max_rank}); use the host paths for this vocabulary"
+            )
         dfa = artifacts.cached_scanner_dfa(pat_str)
         pt = _cached_pair_table(mergeable_ranks)
         vt = _cached_vocab_table(mergeable_ranks)

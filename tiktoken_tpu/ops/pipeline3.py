@@ -247,13 +247,25 @@ def build_pipeline3_fn(
         l_cap = N // 17 + 64
         t_cap = -(-(N + 512) // 4) * 4
     else:
-        # measured densities on the bench corpus (100k vocab): pieces
-        # ~0.13N, misses ~0.02N, longs ~0.001N, tokens ~0.13N; caps keep
-        # 1.3-2x headroom (the worst-case retry absorbs the rest)
-        p_cap = max(256, N // 5)
-        m_cap = max(256, N // 24)
-        l_cap = max(64, N // 512)
-        t_cap = -(-max(512, N // 5) // 4) * 4
+        # measured densities on the bench corpus (100k vocab, TPU stage
+        # profile 2026-08-19): pieces 0.122N, misses 0.0072N, longs
+        # 0.00053N, tokens 0.131N. Merge-arena cost is linear in these
+        # caps (the r0 adjacency probe alone is (W-1) bucket gathers per
+        # lane), so miss/long caps carry ~2x headroom; the piece cap
+        # keeps more (real English under o200k runs ~0.18-0.2 pieces/N,
+        # denser than the bench corpus). A chunk that overflows any cap
+        # re-dispatches through the pre-compiled worst_case variant, so
+        # an undersized cap costs latency, never correctness.
+        import os as _os
+
+        def _div(name, default):
+            v = _os.environ.get(f"TIKTOKEN_TPU_{name}_DIV")
+            return int(v) if v else default
+
+        p_cap = max(256, N // _div("PCAP", 5))
+        m_cap = max(256, N // _div("MCAP", 64))
+        l_cap = max(64, N // _div("LCAP", 1024))
+        t_cap = -(-max(512, N // _div("TCAP", 5)) // 4) * 4
 
     # worst_case also lifts the non-ASCII char-end cap to its 1/2-density
     # bound, so the retry variant can never overflow on the class map
@@ -349,6 +361,13 @@ def build_pipeline3_fn(
         page_planes, mixed_t = scan_tables
         vocab_rows, vocab_long_rows = vocab_rows
         rows = row_gather(flat, row_off)  # [C, KL] u8
+        if stage_stop == "rows":  # profiling bisect point
+            return (
+                jnp.zeros((4,), jnp.uint32).at[0].set(
+                    rows.astype(jnp.uint32).sum()
+                ),
+                jnp.zeros((2 * C + 2,), jnp.int32),
+            )
 
         cls, na_overflow = classes_fn(page_planes, mixed_t, rows, n_total)
         if stage_stop == "classes":  # profiling bisect point
@@ -532,7 +551,7 @@ def build_pipeline3_fn(
         # the device handles (reference: src/lib.rs:367-369)
         l_hit = long_hit_fn(vocab_long_rows, l_bytes, l_lens)
         l_is_hit = l_hit != MISS
-        if stage_stop == "nomerge":
+        if stage_stop in ("nomerge", "m16"):  # "m16": merge16 only
             l_tok = jnp.zeros((l_cap, LONG_SLOT), jnp.uint32)
             l_alive = jnp.zeros((l_cap, LONG_SLOT), bool).at[:, 0].set(l_real)
         else:
@@ -574,24 +593,39 @@ def build_pipeline3_fn(
                 0,
             ),
         )
-        (e_single, e_base, e_issingle, _e_prow), e_k, e_valid, n_tokens = expand(
-            counts,
-            [single_tok, base, is_single.astype(jnp.int32), prow],
-            t_cap,
+        # ONE expand payload (the routing network's traffic is linear in
+        # payload count x log2(t_cap) rounds): bit 31 flags a single
+        # piece whose low bits carry the token id directly; otherwise the
+        # low bits carry the unified slot base. Token ids < 2^31
+        # (asserted at table build).
+        combo = jnp.where(
+            is_single,
+            single_tok | jnp.uint32(0x80000000),
+            base.astype(jnp.uint32),
         )
+        (e_combo,), e_k, e_valid, n_tokens = expand(counts, [combo], t_cap)
         t_overflow = n_tokens > t_cap
+        e_low = (e_combo & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         unified = jnp.concatenate([m_tok_p.reshape(-1), l_tok_p.reshape(-1)])
-        fetched = unified[jnp.clip(e_base + e_k, 0, unified.shape[0] - 1)]
+        fetched = unified[jnp.clip(e_low + e_k, 0, unified.shape[0] - 1)]
         flat_tok = jnp.where(
-            e_valid, jnp.where(e_issingle == 1, e_single, fetched), 0
+            e_valid,
+            jnp.where((e_combo >> 31) != 0, e_low.astype(jnp.uint32), fetched),
+            0,
         ).astype(jnp.uint32)
 
-        # per-row token counts (piece-rate scatter-add)
-        row_counts = (
-            jnp.zeros((C,), jnp.int32)
-            .at[jnp.clip(prow, 0, C - 1)]
-            .add(jnp.where(live, counts, 0))
+        # per-row token counts: the piece catalog is grid-ordered, so
+        # prow is non-decreasing over live lanes — two binary searches
+        # per row on the counts prefix sum replace a p_cap-rate scatter
+        pos_sorted = jnp.where(live, prow, C)
+        cs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(jnp.where(live, counts, 0))]
         )
+        rows_r = jnp.arange(C, dtype=jnp.int32)
+        lo_i = jnp.searchsorted(pos_sorted, rows_r, side="left")
+        hi_i = jnp.searchsorted(pos_sorted, rows_r, side="right")
+        row_counts = cs[hi_i] - cs[lo_i]
 
         overflow = overflow | m_overflow | l_overflow | t_overflow | na_overflow
         if pack24:
