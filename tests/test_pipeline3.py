@@ -164,6 +164,32 @@ def test_midcompact_merge_end_to_end(monkeypatch):
     assert got == [enc2.encode_ordinary(t) for t in texts]
 
 
+def test_mega_dispatch_groups_and_remainder(enc, monkeypatch):
+    # mega-dispatch (TIKTOKEN_TPU_MEGA chunks per jit call via lax.map,
+    # amortizing the per-call tunnel roundtrip — HARDWARE.md "dispatch
+    # floor"): force m=3 so the chunk count is NOT a multiple of m and
+    # the last group is completed by all-empty pad chunks; parity must
+    # hold chunk-for-chunk including across the padded group.
+    monkeypatch.setenv("TIKTOKEN_TPU_MEGA", "3")
+    docs = [make_mixed_corpus(3000, seed=21), CJK * 12, "tail doc 123"]
+    _check(enc, docs, K=96, chunk_rows=8)
+
+
+def test_mega_dispatch_overflow_retry(enc, monkeypatch):
+    # a cap-overflowing chunk inside a mega group must re-dispatch alone
+    # through the worst-case single-chunk program (pending row index
+    # cleared) while its groupmates' results stay valid
+    monkeypatch.setenv("TIKTOKEN_TPU_MEGA", "3")
+    eng = enc.device_engine
+    before = eng.stats["fallback_docs"]
+    texts = ["1a" * 600, CJK * 8, "? " * 300]
+    got = eng.encode_corpus3(texts, host_fallback=enc._core_bpe, K=96,
+                             chunk_rows=8)
+    want = [enc.encode_ordinary(t) for t in texts]
+    assert got == want
+    assert eng.stats["fallback_docs"] == before
+
+
 def test_encode_corpus_routes_v3(enc):
     got = enc.encode_corpus([CJK * 10, "hello world"], strategy="device",
                             row_capacity=96, chunk_rows=8)

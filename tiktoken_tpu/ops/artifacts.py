@@ -70,6 +70,43 @@ def store_arrays(key: str, arrays: dict[str, np.ndarray]) -> None:
         pass  # caching is best-effort, like the reference's vocab cache
 
 
+_exec_cache_enabled = False
+
+
+def enable_executable_cache() -> bool:
+    """Point jax's persistent compilation cache at the artifact dir.
+
+    The device pipeline's production programs take minutes to compile on
+    the TPU backend; caching the compiled executables on disk (keyed by
+    jax on HLO + compiler version) turns every later process start into
+    a cache read — the executable-level analog of the array caches above
+    (the reference's equivalent cost, CoreBPE construction, is cached the
+    same way: tiktoken/load.py:35-86). Gated off XLA:CPU, where
+    executable serialization segfaults (put_executable_and_time crash,
+    see tests/conftest.py). Returns True if the cache is active.
+    """
+    global _exec_cache_enabled
+    if _exec_cache_enabled:
+        return True
+    if os.environ.get("TIKTOKEN_TPU_EXEC_CACHE", "1") in ("0", "false"):
+        return False
+    d = _artifact_dir()
+    if d is None:
+        return False
+    import jax
+
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+        os.makedirs(os.path.join(d, "xla"), exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", os.path.join(d, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return False
+    _exec_cache_enabled = True
+    return True
+
+
 def cached_scanner_dfa(pat_str: str):
     """Disk-cached :func:`tiktoken_tpu.ops.regex_compiler.compile_pattern`."""
     from tiktoken_tpu.ops.regex_compiler import ScannerDFA, compile_pattern

@@ -49,6 +49,20 @@ DEFAULT_CHUNK_ROWS = 8192  # rows per device dispatch (one compiled shape)
 # (HARDWARE.md), making unbounded shape counts a production hazard.
 _CHUNK_TIERS = (8, 128, 2048, DEFAULT_CHUNK_ROWS)
 
+# Chunks per jit call (mega-dispatch). The per-call dispatch+fetch
+# roundtrip on the tunnel (~33 ms) does NOT pipeline across async calls
+# (HARDWARE.md), so one lax.map program over m same-shape chunks divides
+# that floor by m — measured 35.4 -> 12.0 ms/chunk at m=4 on the
+# trivial-compute stage stop (scripts/prototype_megadispatch.py).
+DEFAULT_MEGA = 4
+
+
+def _mega_factor() -> int:
+    try:
+        return max(1, int(os.environ.get("TIKTOKEN_TPU_MEGA", DEFAULT_MEGA)))
+    except ValueError:
+        return DEFAULT_MEGA
+
 
 def quantize_chunk_rows(need: int, cap: int) -> int:
     """Smallest tier >= need, capped (cap itself if it's non-standard)."""
@@ -282,6 +296,11 @@ class DeviceEngine:
         self._jit_lock = threading.Lock()
         self._device_arrays = None
         self.stats = {"rows": 0, "fallback_docs": 0, "v1_fallback_chunks": 0}
+        # wall-clock stage budget of the last encode_corpus3 call (seconds);
+        # populated every call — reading a handful of perf counters is free
+        # next to a device dispatch, and production observability needs the
+        # split (tunnel dispatch vs fetch vs host assembly) to be always-on
+        self.timing: dict[str, float] = {}
 
     @staticmethod
     def build(pat_str: str, mergeable_ranks: dict[bytes, int], *, name: str = "?"):
@@ -312,6 +331,10 @@ class DeviceEngine:
     def _tables(self):
         if self._device_arrays is None:
             import jax.numpy as jnp
+
+            # first device touch: turn on the on-disk executable cache
+            # (no-op on XLA:CPU) before anything jits
+            artifacts.enable_executable_cache()
 
             dfa, pt = self.dfa, self.pair_table
             self._device_arrays = dict(
@@ -602,6 +625,70 @@ class DeviceEngine:
             self._jitted2[key] = fn
         return fn
 
+    def _pipeline3_mega(self, C: int, K: int, m: int):
+        """ONE jit call that runs m same-shape handshake chunks through
+        the v3 body via lax.map (the body compiles once, executes m
+        times sequentially on device). Inputs arrive as m separate
+        7-tuples — uploaded overlapped by the dispatch pool, host-side
+        stacking would serialize those transfers — and are stacked
+        inside the program. Amortizes the non-pipelining per-call
+        tunnel roundtrip (HARDWARE.md 'dispatch floor')."""
+        key = ("v3mega", C, K, m)
+        fn = self._jitted2.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            from tiktoken_tpu.ops.pipeline3 import build_pipeline3_fn, row_geometry
+
+            KP, KL = row_geometry(K)
+            body = build_pipeline3_fn(
+                K=K,
+                C=C,
+                flat_size=-(-(C * KP + KL + 8) // 128) * 128,
+                char_tables=self.char_tables,
+                pair_seed=self.pair_table.seed,
+                pair_buckets=self.pair_table.n_buckets,
+                vocab_seed=self.vocab_table.seed,
+                vocab_buckets=self.vocab_table.n_buckets,
+                long_seed=self.long_vocab_table.seed,
+                long_buckets=self.long_vocab_table.n_buckets,
+                pack24=self.pack24,
+            )
+
+            def mega(s2, bk, br, vr, *flat):
+                stacked = tuple(
+                    jnp.stack([flat[j * 7 + i] for j in range(m)])
+                    for i in range(7)
+                )
+                return jax.lax.map(lambda ch: body(s2, bk, br, vr, *ch), stacked)
+
+            fn = jax.jit(mega)
+            self._jitted2[key] = fn
+        return fn
+
+    def _fetch_sliced_row(self, arr, j: int, size: int):
+        """Row j of a mega-stacked [m, t_cap] output, pow2-prefix-sliced
+        on device and fetched — the mega analog of _fetch_sliced. The
+        row index is a traced scalar so each (size, shape) compiles one
+        program, same budget as the flat slicers."""
+        import jax
+
+        key = ("slice_row", size, tuple(arr.shape), str(arr.dtype))
+        fn = self._jitted2.get(key)
+        if fn is None:
+            with self._jit_lock:
+                fn = self._jitted2.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        lambda x, jj: jax.lax.dynamic_index_in_dim(
+                            x, jj, 0, keepdims=False
+                        )[:size]
+                    )
+                    fn(arr, np.int32(0))  # compile inside the lock
+                    self._jitted2[key] = fn
+        return np.asarray(fn(arr, np.int32(j)))
+
     def warmup(self, K: int | None = None, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                worst_case: bool = False) -> None:
         """Compile the canonical v3 geometry ahead of first use.
@@ -622,14 +709,27 @@ class DeviceEngine:
         i32 = np.zeros((C,), np.int32)
         b1 = np.zeros((C,), bool)
         chunk = (np.zeros((S,), np.uint8), i32, i32, i32, b1, b1, b1)
+        m = _mega_factor()
         for wc in ((False, True) if worst_case else (False,)):
-            # execute on an all-empty chunk: populates the jit cache for
-            # the canonical signature with one cheap device step
-            out = self._pipeline3(C, K, worst_case=wc)(
+            if wc or m == 1:
+                # execute on an all-empty chunk: populates the jit cache
+                # for the canonical signature with one cheap device step.
+                # (The worst-case retry variant is always the single-chunk
+                # program; the plain single program is only dispatched
+                # when mega is off or a corpus has < m chunks at this
+                # tier — not worth a multi-minute warmup compile then.)
+                out = self._pipeline3(C, K, worst_case=wc)(
+                    tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+                    tables["vocab"], *chunk,
+                )
+                np.asarray(out[1])  # block until the executable really ran
+        if m > 1:
+            # corpus-scale dispatches go through the mega program
+            out = self._pipeline3_mega(C, K, m)(
                 tables["scan2"], tables["buckets"], tables["byte_to_rank"],
-                tables["vocab"], *chunk,
+                tables["vocab"], *(chunk * m),
             )
-            np.asarray(out[1])  # block until the executable really ran
+            np.asarray(out[1])
 
     def _dispatch_chunks3(self, pc, chunk_rows: int):
         """Dispatch handshake chunks (slot 0 of each chunk is a ghost of
@@ -637,9 +737,12 @@ class DeviceEngine:
         boundary and emits nothing). Returns (results, C) where results
         is a list of (header, tokens) per chunk, fetched with a small
         thread pool."""
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         from tiktoken_tpu.ops.pipeline3 import row_geometry
+
+        _t0 = _time.perf_counter()
 
         B = pc.row_off.shape[0]
         K = pc.K
@@ -650,7 +753,6 @@ class DeviceEngine:
         R = max(1, chunk_rows - 1)  # real rows per chunk
         C = R + 1
         S = -(-(C * KP + KL + 8) // 128) * 128
-        fn = self._pipeline3(C, K)
         tables = self._tables2()
 
         from tiktoken_tpu.ops.pipeline3 import chunk_inputs3
@@ -671,66 +773,141 @@ class DeviceEngine:
             inputs, nreal = chunk_inputs(lo)
             return tuple(jax.device_put(x) for x in inputs), nreal
 
-        pending = []
         los = list(range(0, B, R))
         if not los:
             return [], C
-        # first chunk entirely on the main thread: a cache-miss compile
-        # here must not overlap the upload threads' device_puts (XLA:CPU
-        # backend_compile races concurrent transfers — segfaults)
-        inputs0, nreal0 = upload(los[0])
-        tok0, header0 = fn(
-            tables["scan2"], tables["buckets"], tables["byte_to_rank"],
-            tables["vocab"], *inputs0,
-        )
-        pending.append([tok0, header0, nreal0, los[0]])
-        rest = los[1:]
-        with ThreadPoolExecutor(max_workers=4) as upool:
-            futs = {}
-            for lo in rest[:UPLOAD_AHEAD]:
-                futs[lo] = upool.submit(upload, lo)
-            for i, lo in enumerate(rest):
-                inputs, nreal = futs.pop(lo).result()
-                nxt = i + UPLOAD_AHEAD
-                if nxt < len(rest):
-                    futs[rest[nxt]] = upool.submit(upload, rest[nxt])
-                tok, header = fn(
-                    tables["scan2"], tables["buckets"], tables["byte_to_rank"],
-                    tables["vocab"], *inputs,
-                )
-                pending.append([tok, header, nreal, lo])
+        targs = (tables["scan2"], tables["buckets"], tables["byte_to_rank"],
+                 tables["vocab"])
 
+        # mega-dispatch: m chunks per jit call — the per-call tunnel
+        # roundtrip (~33 ms) does not pipeline across calls (HARDWARE.md).
+        # Used even when the corpus has fewer than m chunks (padded):
+        # keeping ONE program family per tier means a warmed engine can
+        # never hit a surprise multi-minute compile on a small corpus,
+        # and pad chunks are near-free (zero rows -> merge loops exit
+        # on entry; only the fixed-shape scan runs).
+        m = _mega_factor()
+        mega = m > 1
+
+        # pending entries: [tok_dev, row_or_None, nreal, lo, group_idx]
+        pending = []
+        group_hdrs = []  # one device header array per dispatch
+
+        if mega:
+            fnm = self._pipeline3_mega(C, K, m)
+            # all-empty pad chunks complete the last group (same shapes
+            # the warmup uses); they count no rows and emit no tokens
+            i32 = np.zeros((C,), np.int32)
+            b1 = np.zeros((C,), bool)
+            pad_inputs = (np.zeros((S,), np.uint8), i32, i32, i32, b1, b1, b1)
+            slots = los + [None] * ((-len(los)) % m)
+            groups = [slots[g : g + m] for g in range(0, len(slots), m)]
+
+            def upload_slot(lo):
+                if lo is None:
+                    return tuple(jax.device_put(x) for x in pad_inputs), 0
+                return upload(lo)
+
+            def dispatch_group(g_i, flat, nreals):
+                tok, hdr = fnm(*targs, *flat)
+                for j, lo in enumerate(groups[g_i]):
+                    if lo is not None:
+                        pending.append([tok, j, nreals[j], lo, g_i])
+                group_hdrs.append(hdr)
+
+            # first group entirely on the main thread: a cache-miss
+            # compile here must not overlap the upload threads'
+            # device_puts (XLA:CPU backend_compile races concurrent
+            # transfers — segfaults)
+            flat0, nreal0 = [], []
+            for lo in groups[0]:
+                ins, nr = upload_slot(lo)
+                flat0.extend(ins)
+                nreal0.append(nr)
+            dispatch_group(0, flat0, nreal0)
+
+            rest = slots[m:]
+            with ThreadPoolExecutor(max_workers=4) as upool:
+                futs = {}
+                for s_i in range(min(UPLOAD_AHEAD, len(rest))):
+                    futs[s_i] = upool.submit(upload_slot, rest[s_i])
+                for g_i in range(1, len(groups)):
+                    flat, nreals = [], []
+                    for j in range(m):
+                        s_i = (g_i - 1) * m + j
+                        ins, nr = futs.pop(s_i).result()
+                        nxt = s_i + UPLOAD_AHEAD
+                        if nxt < len(rest):
+                            futs[nxt] = upool.submit(upload_slot, rest[nxt])
+                        flat.extend(ins)
+                        nreals.append(nr)
+                    dispatch_group(g_i, flat, nreals)
+        else:
+            fn = self._pipeline3(C, K)
+            # first chunk entirely on the main thread (see above)
+            inputs0, nreal0 = upload(los[0])
+            tok0, header0 = fn(*targs, *inputs0)
+            pending.append([tok0, None, nreal0, los[0], 0])
+            group_hdrs.append(header0)
+            rest = los[1:]
+            with ThreadPoolExecutor(max_workers=4) as upool:
+                futs = {}
+                for lo in rest[:UPLOAD_AHEAD]:
+                    futs[lo] = upool.submit(upload, lo)
+                for i, lo in enumerate(rest):
+                    inputs, nreal = futs.pop(lo).result()
+                    nxt = i + UPLOAD_AHEAD
+                    if nxt < len(rest):
+                        futs[rest[nxt]] = upool.submit(upload, rest[nxt])
+                    tok, header = fn(*targs, *inputs)
+                    pending.append([tok, None, nreal, lo, len(group_hdrs)])
+                    group_hdrs.append(header)
+
+        self.timing["dispatch_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         with ThreadPoolExecutor(max_workers=4) as pool:
-            headers = list(pool.map(lambda p: np.asarray(p[1]), pending))
-            # cap overflow: re-dispatch through the worst-case-caps variant
-            # (compiled lazily; by construction it cannot overflow)
+            # one header roundtrip per dispatch, not per chunk
+            grp_np = list(pool.map(np.asarray, group_hdrs))
+            self.timing["header_fetch_s"] = _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            headers = [
+                grp_np[p[4]][p[1]] if p[1] is not None else grp_np[p[4]]
+                for p in pending
+            ]
+            # cap overflow: re-dispatch that chunk through the
+            # worst-case-caps variant (compiled lazily; by construction
+            # it cannot overflow)
             for i, hdr in enumerate(headers):
                 if hdr[-1]:
                     wfn = self._pipeline3(C, K, worst_case=True)
                     inputs, _ = chunk_inputs(pending[i][3])
-                    tok, header = wfn(
-                        tables["scan2"], tables["buckets"],
-                        tables["byte_to_rank"], tables["vocab"], *inputs,
-                    )
+                    tok, header = wfn(*targs, *inputs)
                     pending[i][0] = tok
+                    pending[i][1] = None
                     headers[i] = np.asarray(header)
 
             def fetch(i):
-                tok = pending[i][0]
+                tok, row = pending[i][0], pending[i][1]
                 hdr = headers[i]
-                t_cap = int(tok.shape[0])
+                t_cap = int(tok.shape[-1])
                 nt = int(hdr[-2])
                 if hdr[-1] or nt == 0:
                     return np.zeros(0, np.uint32)
                 if self.pack24:
                     words = (3 * nt + 3) // 4
                     size = min(t_cap, 1 << max(0, (words - 1)).bit_length())
+                else:
+                    size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
+                if row is not None:
+                    raw = self._fetch_sliced_row(tok, row, size)
+                else:
                     raw = self._fetch_sliced(tok, size)
+                if self.pack24:
                     return unpack_tokens24(raw, nt)
-                size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
-                return self._fetch_sliced(tok, size)[:nt]
+                return raw[:nt]
 
             toks = list(pool.map(fetch, range(len(pending))))
+        self.timing["token_fetch_s"] = _time.perf_counter() - _t0
         return [
             (headers[i], toks[i], pending[i][2], pending[i][3])
             for i in range(len(pending))
@@ -758,16 +935,21 @@ class DeviceEngine:
                 stacklevel=3,
             )
         K = min(K or K_DEFAULT, 256)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         docs = [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in texts]
         out: list = [[] for _ in docs]
         pc = pack_corpus3(docs, K)
         B = pc.row_off.shape[0]
+        self.timing["pack_s"] = _time.perf_counter() - _t0
         if B == 0:
             return out
         results, C = self._dispatch_chunks3(
             pc, chunk_rows or DEFAULT_CHUNK_ROWS
         )
 
+        _t0 = _time.perf_counter()
         frags: dict[int, list[np.ndarray]] = {}
         fallback_docs: set[int] = set()
         for hdr, toks, nreal, lo in results:
@@ -792,6 +974,7 @@ class DeviceEngine:
                 continue
             arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
             out[doc] = arr if as_numpy else arr.tolist()
+        self.timing["assemble_s"] = _time.perf_counter() - _t0
         self.stats["rows"] += B
         if fallback_docs:
             self.stats["fallback_docs"] += len(fallback_docs)

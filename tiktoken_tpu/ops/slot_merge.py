@@ -102,6 +102,13 @@ def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4,
     envmin = os.environ.get("TIKTOKEN_TPU_MERGE_MIDCOMPACT_MIN")
     if envmin:
         midcompact_min = int(envmin)
+    # Two-phase split tuning: phase 1 runs `phase1` substeps on the FULL
+    # arena before compacting survivors into an M/pool_div pool. Full-
+    # arena substeps dominate the stage cost, so compacting earlier can
+    # win — but more survivors must then fit the pool, and a pool
+    # overflow retries the whole loop on the full arena (lax.cond).
+    phase1 = int(os.environ.get("TIKTOKEN_TPU_MERGE_PHASE1", unroll) or unroll)
+    pool_div = int(os.environ.get("TIKTOKEN_TPU_MERGE_POOL_DIV", 4) or 4)
 
     mask = np.uint32(n_buckets - 1)
 
@@ -204,13 +211,13 @@ def make_slot_merge_fn(seed: int, n_buckets: int, W: int, *, unroll: int = 4,
             tok, alive, _nxt, _r, rounds = jax.lax.while_loop(cond, body, st0)
             return tok, alive, rounds
 
-        # ---- two-phase: one unrolled group, compact survivors, finish ----
+        # ---- two-phase: phase1 substeps, compact survivors, finish ----
         st = st0
-        for _ in range(unroll):
+        for _ in range(phase1):
             st = substep(st)
         tok1, alive1, nxt1, r1, rounds1 = st
         act = (r1 != RANK_MAX).any(axis=1)
-        M2 = max(256, M // 4)
+        M2 = max(256, M // pool_div)
         idx = jnp.arange(M, dtype=jnp.int32)
 
         nb = W.bit_length()  # bits per nxt value (values 0..W)
