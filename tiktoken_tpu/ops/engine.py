@@ -429,11 +429,12 @@ class DeviceEngine:
 
     # -- public -----------------------------------------------------------
 
-    def _fetch_sliced(self, arr, size: int):
-        """Device-side pow2-size prefix slice + host fetch, so the host
-        pulls only ~n_tokens values instead of the whole t_cap buffer.
-        Called from fetch pool threads: the first call per (size, shape)
-        compiles, which must not race other compiles (see _jit_lock)."""
+    def _slice_async(self, arr, size: int):
+        """Enqueue a device-side pow2-size prefix slice; returns the
+        device array WITHOUT fetching, so the host pulls only ~n_tokens
+        values (np.asarray later) and the transfer can overlap compute.
+        The first call per (size, shape) compiles, which must not race
+        other compiles (see _jit_lock)."""
         key = ("slice", size, tuple(arr.shape), str(arr.dtype))
         fn = self._jitted2.get(key)
         if fn is None:
@@ -445,7 +446,10 @@ class DeviceEngine:
                     fn = jax.jit(lambda x: x[:size])
                     fn(arr)  # compile inside the lock
                     self._jitted2[key] = fn
-        return np.asarray(fn(arr))
+        return fn(arr)
+
+    def _fetch_sliced(self, arr, size: int):
+        return np.asarray(self._slice_async(arr, size))
 
     def _dispatch_chunks(self, batch: PackedBatch, chunk_rows: int):
         """Dispatch all chunks to the device, then fetch headers and
@@ -667,11 +671,12 @@ class DeviceEngine:
             self._jitted2[key] = fn
         return fn
 
-    def _fetch_sliced_row(self, arr, j: int, size: int):
+    def _slice_row_async(self, arr, j: int, size: int):
         """Row j of a mega-stacked [m, t_cap] output, pow2-prefix-sliced
-        on device and fetched — the mega analog of _fetch_sliced. The
-        row index is a traced scalar so each (size, shape) compiles one
-        program, same budget as the flat slicers."""
+        on device; returns the device array WITHOUT fetching — the mega
+        analog of _slice_async. The row index is a traced scalar so each
+        (size, shape) compiles one program, same budget as the flat
+        slicers."""
         import jax
 
         key = ("slice_row", size, tuple(arr.shape), str(arr.dtype))
@@ -687,7 +692,7 @@ class DeviceEngine:
                     )
                     fn(arr, np.int32(0))  # compile inside the lock
                     self._jitted2[key] = fn
-        return np.asarray(fn(arr, np.int32(j)))
+        return fn(arr, np.int32(j))
 
     def warmup(self, K: int | None = None, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                worst_case: bool = False) -> None:
@@ -792,6 +797,67 @@ class DeviceEngine:
         # pending entries: [tok_dev, row_or_None, nreal, lo, group_idx]
         pending = []
         group_hdrs = []  # one device header array per dispatch
+        group_members: list[list[int]] = []  # pending idx per dispatch
+
+        # --- depth-2 pipelined fetch ----------------------------------
+        # Waiting for ALL headers before fetching any tokens serializes
+        # every token transfer behind the last group's compute (measured
+        # ~380 ms of post-compute fetch tail on a 16 MB corpus). Instead
+        # the dispatch loop drains group g-1 right after dispatching
+        # group g: the header wait keeps one group of compute in flight,
+        # the pow2 slice programs enqueue between mega programs, and the
+        # token transfers ride the tunnel while later groups compute.
+        # Gated off XLA:CPU, whose backend_compile races concurrent
+        # transfers (segfaults — tests/conftest.py): there every fetch
+        # happens after the dispatch loop, fully serial.
+        pipelined = jax.default_backend() != "cpu"
+        fetch_pool = ThreadPoolExecutor(max_workers=4)
+        headers: dict[int, np.ndarray] = {}
+        tok_futs: dict = {}
+        retries: list[int] = []
+        processed = 0  # groups drained so far
+        hdr_wait_s = 0.0
+
+        def start_fetch(i, hdr):
+            """Main-thread part of a token fetch: enqueue the pow2
+            prefix-slice program; the device->host transfer and 24-bit
+            unpack run in the fetch pool."""
+            headers[i] = hdr
+            if hdr[-1]:
+                retries.append(i)
+                return
+            nt = int(hdr[-2])
+            if nt == 0:
+                return
+            tok, row = pending[i][0], pending[i][1]
+            t_cap = int(tok.shape[-1])
+            if self.pack24:
+                words = (3 * nt + 3) // 4
+                size = min(t_cap, 1 << max(0, (words - 1)).bit_length())
+            else:
+                size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
+            if row is not None:
+                dev = self._slice_row_async(tok, row, size)
+            else:
+                dev = self._slice_async(tok, size)
+
+            def finish(dev=dev, nt=nt):
+                raw = np.asarray(dev)
+                return unpack_tokens24(raw, nt) if self.pack24 else raw[:nt]
+
+            tok_futs[i] = fetch_pool.submit(finish)
+
+        def drain_upto(n):
+            nonlocal processed, hdr_wait_s
+            while processed < n:
+                g_i = processed
+                t0 = _time.perf_counter()
+                grp = np.asarray(group_hdrs[g_i])
+                hdr_wait_s += _time.perf_counter() - t0
+                for i in group_members[g_i]:
+                    row = pending[i][1]
+                    start_fetch(i, grp[row] if row is not None else grp)
+                processed += 1
 
         if mega:
             fnm = self._pipeline3_mega(C, K, m)
@@ -810,10 +876,15 @@ class DeviceEngine:
 
             def dispatch_group(g_i, flat, nreals):
                 tok, hdr = fnm(*targs, *flat)
+                members = []
                 for j, lo in enumerate(groups[g_i]):
                     if lo is not None:
+                        members.append(len(pending))
                         pending.append([tok, j, nreals[j], lo, g_i])
                 group_hdrs.append(hdr)
+                group_members.append(members)
+                if pipelined:
+                    drain_upto(g_i)  # overlap: drain g-1 while g computes
 
             # first group entirely on the main thread: a cache-miss
             # compile here must not overlap the upload threads'
@@ -849,6 +920,7 @@ class DeviceEngine:
             tok0, header0 = fn(*targs, *inputs0)
             pending.append([tok0, None, nreal0, los[0], 0])
             group_hdrs.append(header0)
+            group_members.append([0])
             rest = los[1:]
             with ThreadPoolExecutor(max_workers=4) as upool:
                 futs = {}
@@ -860,53 +932,40 @@ class DeviceEngine:
                     if nxt < len(rest):
                         futs[rest[nxt]] = upool.submit(upload, rest[nxt])
                     tok, header = fn(*targs, *inputs)
-                    pending.append([tok, None, nreal, lo, len(group_hdrs)])
+                    g_i = len(group_hdrs)
+                    pending.append([tok, None, nreal, lo, g_i])
                     group_hdrs.append(header)
+                    group_members.append([len(pending) - 1])
+                    if pipelined:
+                        drain_upto(g_i)
 
-        self.timing["dispatch_s"] = _time.perf_counter() - _t0
-        _t0 = _time.perf_counter()
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            # one header roundtrip per dispatch, not per chunk
-            grp_np = list(pool.map(np.asarray, group_hdrs))
-            self.timing["header_fetch_s"] = _time.perf_counter() - _t0
+        try:
+            self.timing["dispatch_s"] = _time.perf_counter() - _t0
             _t0 = _time.perf_counter()
-            headers = [
-                grp_np[p[4]][p[1]] if p[1] is not None else grp_np[p[4]]
-                for p in pending
-            ]
-            # cap overflow: re-dispatch that chunk through the
+            drain_upto(len(group_hdrs))  # last group (or all, on CPU)
+            self.timing["header_wait_s"] = hdr_wait_s
+            # cap overflow: re-dispatch those chunks through the
             # worst-case-caps variant (compiled lazily; by construction
             # it cannot overflow)
-            for i, hdr in enumerate(headers):
-                if hdr[-1]:
-                    wfn = self._pipeline3(C, K, worst_case=True)
-                    inputs, _ = chunk_inputs(pending[i][3])
-                    tok, header = wfn(*targs, *inputs)
-                    pending[i][0] = tok
-                    pending[i][1] = None
-                    headers[i] = np.asarray(header)
-
-            def fetch(i):
-                tok, row = pending[i][0], pending[i][1]
-                hdr = headers[i]
-                t_cap = int(tok.shape[-1])
-                nt = int(hdr[-2])
-                if hdr[-1] or nt == 0:
-                    return np.zeros(0, np.uint32)
-                if self.pack24:
-                    words = (3 * nt + 3) // 4
-                    size = min(t_cap, 1 << max(0, (words - 1)).bit_length())
-                else:
-                    size = min(t_cap, 1 << max(0, (nt - 1)).bit_length())
-                if row is not None:
-                    raw = self._fetch_sliced_row(tok, row, size)
-                else:
-                    raw = self._fetch_sliced(tok, size)
-                if self.pack24:
-                    return unpack_tokens24(raw, nt)
-                return raw[:nt]
-
-            toks = list(pool.map(fetch, range(len(pending))))
+            for i in list(retries):
+                retries.remove(i)
+                wfn = self._pipeline3(C, K, worst_case=True)
+                inputs, _ = chunk_inputs(pending[i][3])
+                tok, header = wfn(*targs, *inputs)
+                pending[i][0] = tok
+                pending[i][1] = None
+                start_fetch(i, np.asarray(header))
+            if retries:  # a worst-case chunk overflowed: impossible
+                raise RuntimeError(
+                    f"worst-case pipeline overflowed on chunks {retries}"
+                )
+            toks = [
+                tok_futs[i].result() if i in tok_futs
+                else np.zeros(0, np.uint32)
+                for i in range(len(pending))
+            ]
+        finally:
+            fetch_pool.shutdown(wait=False)
         self.timing["token_fetch_s"] = _time.perf_counter() - _t0
         return [
             (headers[i], toks[i], pending[i][2], pending[i][3])
