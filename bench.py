@@ -205,9 +205,19 @@ def main() -> None:
     # every configuration: median of 3 runs over the IDENTICAL full
     # corpus (a best-of on a sub-sample is neither reproducible nor
     # comparable run-to-run)
+    # Only the parity-sample documents' tokens are retained from each
+    # run: keeping a full 64 MB corpus's list[list[int]] alive across
+    # rows (~15M tracked PyLongs per result) makes every later gen2 GC
+    # collection scan them, measured as a ~3x slowdown of later
+    # list-output rows. perf_counter brackets exclude the del/collect.
+    import gc
+
+    sample_idx = list(range(0, len(docs), max(1, len(docs) // 8)))
+
     def timed(strategy: str, n: int = 3, numpy_out: bool = False):
-        rates, result = [], None
+        rates, sampled = [], None
         for _ in range(n):
+            gc.collect()
             t0 = time.perf_counter_ns()
             if numpy_out:
                 result = enc.encode_corpus_to_numpy(docs, strategy=strategy)
@@ -215,12 +225,14 @@ def main() -> None:
                 result = enc.encode_corpus(docs, strategy=strategy)
             t1 = time.perf_counter_ns()
             rates.append(total_bytes / ((t1 - t0) / 1e9) / 1e6)
-        return statistics.median(rates), result
+            sampled = {i: result[i] for i in sample_idx}
+            del result
+        return statistics.median(rates), sampled
 
     device_only_mbs = 0.0
     if native_ok:
         log("timing device-only encode_corpus (median of 3)...")
-        device_only_mbs, _r = timed("device")
+        device_only_mbs, device_only_tokens = timed("device")
         log(f"device-only: {device_only_mbs:.2f} MB/s")
 
     log("timing host-only encode_corpus (median of 3)...")
@@ -238,6 +250,15 @@ def main() -> None:
     log(f"timing encode_corpus_to_numpy (auto -> {strategy}, median of 3)...")
     numpy_mbs, _r = timed(strategy, numpy_out=True)
     log(f"auto-numpy: {numpy_mbs:.2f} MB/s")
+    if strategy == "host" and native_ok:
+        # the auto policy keeps a 1-core host off hybrid; record the
+        # hybrid numbers anyway so the policy stays auditable
+        log("timing hybrid rows (median of 3, for the record)...")
+        hybrid_mbs, _r = timed("hybrid")
+        hybrid_numpy_mbs, _r = timed("hybrid", numpy_out=True)
+        log(f"hybrid: {hybrid_mbs:.2f} | hybrid-numpy: {hybrid_numpy_mbs:.2f}")
+    else:
+        hybrid_mbs, hybrid_numpy_mbs = device_mbs, numpy_mbs
 
     # parity spot check vs the reference library on a sample
     import tiktoken
@@ -247,50 +268,83 @@ def main() -> None:
         special_tokens={"<|endoftext|>": len(ranks)},
     )
     parity = all(
-        device_tokens[i] == oracle.encode_ordinary(docs[i])
-        for i in range(0, len(docs), max(1, len(docs) // 8))
+        list(device_tokens[i]) == oracle.encode_ordinary(docs[i])
+        for i in sample_idx
     )
+    if native_ok:
+        # the device pipeline must stay byte-exact even when auto
+        # resolves to a host strategy
+        parity = parity and all(
+            list(device_only_tokens[i]) == oracle.encode_ordinary(docs[i])
+            for i in sample_idx
+        )
     log(f"parity vs reference: {parity}")
 
-    # reference baselines on the same host: single-thread and its best
-    # multi-threaded configuration (the published peak is ~16 threads,
-    # BASELINE.md; 8 is this box's core count)
-    sample = docs[: max(1, len(docs) // 8)]
-    sample_bytes = sum(len(d.encode()) for d in sample)
-    _ = oracle.encode_ordinary_batch(sample[:1], num_threads=1)
-    t0 = time.perf_counter_ns()
-    _ = oracle.encode_ordinary_batch(sample, num_threads=1)
-    t1 = time.perf_counter_ns()
-    ref_mbs = sample_bytes / ((t1 - t0) / 1e9) / 1e6
+    # reference baselines on the same host and the IDENTICAL corpus,
+    # median of 3 like every row above: single-thread, its best
+    # multi-threaded configuration (published peak ~16 threads,
+    # BASELINE.md; capped at this box's core count), and its fastest
+    # array-output configuration (per-doc encode_to_numpy, zero-copy
+    # buffer protocol, in the same thread pool) — the reference's
+    # analog of encode_corpus_to_numpy, so the headline compares
+    # best-faith config to best-faith config.
+    def ref_timed(fn, n: int = 3):
+        rates = []
+        for _ in range(n):
+            t0 = time.perf_counter_ns()
+            fn()
+            t1 = time.perf_counter_ns()
+            rates.append(total_bytes / ((t1 - t0) / 1e9) / 1e6)
+        return statistics.median(rates)
+
     n_thr = min(8, os.cpu_count() or 8)
-    t0 = time.perf_counter_ns()
-    _ = oracle.encode_ordinary_batch(sample, num_threads=n_thr)
-    t1 = time.perf_counter_ns()
-    ref8_mbs = sample_bytes / ((t1 - t0) / 1e9) / 1e6
+    _ = oracle.encode_ordinary_batch(docs[:1], num_threads=1)  # warm
+    ref_mbs = ref_timed(
+        lambda: oracle.encode_ordinary_batch(docs, num_threads=1)
+    )
+    ref8_mbs = ref_timed(
+        lambda: oracle.encode_ordinary_batch(docs, num_threads=n_thr)
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def ref_numpy_batch():
+        with ThreadPoolExecutor(n_thr) as pool:
+            return list(pool.map(oracle.encode_to_numpy, docs))
+
+    ref_numpy_mbs = ref_timed(ref_numpy_batch)
+    ref_best = max(ref_mbs, ref8_mbs, ref_numpy_mbs)
     log(
-        f"node: {device_mbs:.1f} MB/s | device-only: {device_only_mbs:.1f}"
+        f"node: {numpy_mbs:.1f} MB/s | device-only: {device_only_mbs:.1f}"
         f" | reference 1-thread: {ref_mbs:.1f} | {n_thr}-thread: {ref8_mbs:.1f}"
+        f" | ref-numpy: {ref_numpy_mbs:.1f}"
     )
 
     if not parity:
-        device_mbs = device_only_mbs = 0.0  # a wrong tokenizer has no throughput
+        # a wrong tokenizer has no throughput
+        device_mbs = device_only_mbs = numpy_mbs = 0.0
 
-    # vs_baseline is measured against the STRONGER reference config on
-    # this host (multi-threaded), not its single-thread floor.
+    # The headline is the fastest faithful corpus configuration under
+    # auto scheduling (array output — the corpus-scale analog of the
+    # reference's encode_to_numpy); vs_baseline is measured against the
+    # STRONGEST reference configuration on this host, not its
+    # single-thread floor.
     print(
         json.dumps(
             {
-                "metric": "o200k-pattern corpus encode, byte-exact (auto engine scheduling)",
-                "value": round(device_mbs, 2),
+                "metric": "o200k-pattern corpus encode to uint32 arrays, byte-exact (auto scheduling)",
+                "value": round(numpy_mbs, 2),
                 "unit": "MB/s",
-                "vs_baseline": round(device_mbs / max(ref_mbs, ref8_mbs, 1e-9), 2),
+                "vs_baseline": round(numpy_mbs / max(ref_best, 1e-9), 2),
+                "list_out": round(device_mbs, 2),
                 "device_only": round(device_only_mbs, 2),
                 "host_only": round(host_mbs, 2),
                 "host_numpy": round(host_numpy_mbs, 2),
-                "numpy_out": round(numpy_mbs, 2),
+                "hybrid": round(hybrid_mbs, 2),
+                "hybrid_numpy": round(hybrid_numpy_mbs, 2),
                 "ref_1thread": round(ref_mbs, 2),
                 "ref_8thread": round(ref8_mbs, 2),
-                "vs_ref_1thread": round(device_mbs / max(ref_mbs, 1e-9), 2),
+                "ref_numpy": round(ref_numpy_mbs, 2),
+                "vs_ref_1thread": round(numpy_mbs / max(ref_mbs, 1e-9), 2),
                 "platform": platform,
                 "resolved_strategy": strategy,
                 "corpus_mb": round(total_bytes / 1e6, 1),

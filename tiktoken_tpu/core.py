@@ -291,13 +291,18 @@ class Encoding:
     ) -> str:
         """The concrete engine strategy ``encode_corpus`` will run.
 
-        "auto" resolves to "hybrid" whenever both the native host core
-        and a non-CPU accelerator are present: the shared work queue
-        self-balances to each engine's actual speed, and the host
-        worker's C call releases the GIL, so even a single-core host
-        wins by overlapping CPU with device time (measured: hybrid 41
-        vs host-only 21 MB/s on a 1-core box). Hosts whose JAX backend
-        is CPU-only run host-only — compiling the production chunk
+        "auto" resolves to "hybrid" when both the native host core and
+        a non-CPU accelerator are present AND there is more than one
+        host core: the shared work queue self-balances to each engine's
+        throughput, but the device worker's host-side share (pack,
+        upload/fetch threads, assembly — measured ~60 ms of host CPU
+        per device MB on the round-4 tunnel box) must come from
+        somewhere, and on a single core it comes straight out of the
+        host engine's budget. Measured on that box (64 MB corpus,
+        median of 3): host-only 45.2 MB/s numpy-out vs hybrid 33.7 —
+        the device's marginal value is negative when it steals the only
+        core, so 1-core hosts run host-only. Hosts whose JAX backend is
+        CPU-only also run host-only — compiling the production chunk
         geometry on XLA:CPU takes tens of minutes and contributes
         nothing. Hosts without a C++ toolchain run device-only."""
         if strategy != "auto":
@@ -312,7 +317,11 @@ class Encoding:
             platform = jax.default_backend()
         except Exception:
             platform = "cpu"
-        return "host" if platform == "cpu" else "hybrid"
+        if platform == "cpu":
+            return "host"
+        import os as _os
+
+        return "hybrid" if (_os.cpu_count() or 1) > 1 else "host"
 
     def encode_corpus(
         self,

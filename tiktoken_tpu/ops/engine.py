@@ -58,10 +58,19 @@ DEFAULT_MEGA = 4
 
 
 def _mega_factor() -> int:
-    try:
-        return max(1, int(os.environ.get("TIKTOKEN_TPU_MEGA", DEFAULT_MEGA)))
-    except ValueError:
-        return DEFAULT_MEGA
+    v = os.environ.get("TIKTOKEN_TPU_MEGA")
+    if v:
+        try:
+            return max(1, int(v))
+        except ValueError:
+            return DEFAULT_MEGA
+    # mega exists to amortize the tunnel's per-call roundtrip; XLA:CPU
+    # has no tunnel, and the lax.map wrapper only adds compile time
+    # (which the CPU backend pays in minutes, e.g. the test suite and
+    # the multi-chip dryrun gate)
+    import jax
+
+    return 1 if jax.default_backend() == "cpu" else DEFAULT_MEGA
 
 
 def quantize_chunk_rows(need: int, cap: int) -> int:
