@@ -13,7 +13,13 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from .helpers import MAX_EXAMPLES, PAT_NAMES, make_encoding, make_mixed_corpus, make_oracle
+from .helpers import (
+    DEVICE_PAT_NAMES,
+    MAX_EXAMPLES,
+    make_encoding,
+    make_mixed_corpus,
+    make_oracle,
+)
 
 
 def _corpus_docs():
@@ -28,7 +34,7 @@ def _corpus_docs():
     ]
 
 
-@pytest.mark.parametrize("pat_name", PAT_NAMES)
+@pytest.mark.parametrize("pat_name", DEVICE_PAT_NAMES)
 def test_encode_corpus_matches_host(pat_name):
     enc = make_encoding(pat_name)
     docs = _corpus_docs()
@@ -38,7 +44,7 @@ def test_encode_corpus_matches_host(pat_name):
         assert g == w, (pat_name, d[:50])
 
 
-@pytest.mark.parametrize("pat_name", PAT_NAMES)
+@pytest.mark.parametrize("pat_name", DEVICE_PAT_NAMES)
 def test_encode_corpus_matches_reference(pat_name):
     enc = make_encoding(pat_name)
     oracle = make_oracle(pat_name)
@@ -48,7 +54,7 @@ def test_encode_corpus_matches_reference(pat_name):
     assert got == want
 
 
-@pytest.mark.parametrize("pat_name", PAT_NAMES)
+@pytest.mark.parametrize("pat_name", DEVICE_PAT_NAMES)
 @settings(max_examples=MAX_EXAMPLES // 4, deadline=None)
 @given(text=st.text(max_size=300))
 def test_encode_corpus_fuzz(pat_name, text):

@@ -13,8 +13,9 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from .helpers import (
+    FULL_TESTS,
     MAX_EXAMPLES,
-    PAT_NAMES,
+    DEVICE_PAT_NAMES,
     make_encoding,
     make_mixed_corpus,
     make_oracle,
@@ -143,7 +144,7 @@ def test_slot_merge_matches_sequential(W):
     )
 
 
-@pytest.mark.parametrize("pat_name", PAT_NAMES)
+@pytest.mark.parametrize("pat_name", DEVICE_PAT_NAMES)
 def test_v2_corpus_matches_reference(pat_name):
     enc = make_encoding(pat_name)
     oracle = make_oracle(pat_name)
@@ -194,9 +195,16 @@ def test_encode_corpus_strategies_byte_exact(strategy):
 
 def test_large_single_document_device():
     """A multi-chunk single document: fragments reassemble in order across
-    chunk boundaries (doc-level assembly path)."""
+    chunk boundaries (doc-level assembly path). The fast tier pins the
+    small chunk tier so the doc still spans many chunks without
+    compiling the production geometry on XLA:CPU (542 s measured); the
+    full tier runs the 1.5 MB document through the default tiers."""
     enc = make_encoding("o200k")
     oracle = make_oracle("o200k")
-    doc = make_mixed_corpus(1_500_000, seed=11)
-    got = enc.encode_corpus([doc], strategy="device")
+    if FULL_TESTS:
+        doc = make_mixed_corpus(1_500_000, seed=11)
+        got = enc.encode_corpus([doc], strategy="device")
+    else:
+        doc = make_mixed_corpus(120_000, seed=11)
+        got = enc.encode_corpus([doc], strategy="device", chunk_rows=128)
     assert got == [oracle.encode_ordinary(doc)]
