@@ -40,21 +40,29 @@ from tiktoken_tpu.ops.window_scan import (
 
 LOOK = 16  # true continuation bytes per row
 DEFAULT_ROW = 256  # payload bytes per row (short rows: scan iterations ~ row length)
-DEFAULT_CHUNK_ROWS = 8192  # rows per device dispatch (one compiled shape)
+# Rows per device dispatch (one compiled shape). Round-4 measurement:
+# wider chunks amortize per-step loop floors across the whole pipeline —
+# the identical 16 MB corpus runs 405 ms-equivalent per 5.77 MB at
+# C=8192 vs 307 ms at C=32768 (24% faster; the scan stage alone goes
+# 670 -> 1168 MB/s, scripts/prototype_blockdfa.py + profile_stops).
+DEFAULT_CHUNK_ROWS = 32768
 
 # Compiled-shape budget: chunk sizes quantize to these tiers instead of
 # any next-pow2 of the corpus size, so a process compiles at most
 # len(_CHUNK_TIERS) geometries per (K, worst_case) — first compiles cost
-# 3-7 minutes on the target backend with no persistent cache
-# (HARDWARE.md), making unbounded shape counts a production hazard.
-_CHUNK_TIERS = (8, 128, 2048, DEFAULT_CHUNK_ROWS)
+# 3-7 minutes on the target backend (disk-cached across processes since
+# round 4), making unbounded shape counts a production hazard.
+_CHUNK_TIERS = (8, 128, 2048, 8192, DEFAULT_CHUNK_ROWS)
 
 # Chunks per jit call (mega-dispatch). The per-call dispatch+fetch
 # roundtrip on the tunnel (~33 ms) does NOT pipeline across async calls
 # (HARDWARE.md), so one lax.map program over m same-shape chunks divides
 # that floor by m — measured 35.4 -> 12.0 ms/chunk at m=4 on the
-# trivial-compute stage stop (scripts/prototype_megadispatch.py).
-DEFAULT_MEGA = 4
+# trivial-compute stage stop (scripts/prototype_megadispatch.py). At
+# the round-4 C=32768 geometry the floor is ~10% of a chunk, so m=2
+# amortizes enough while keeping groups fine-grained for the depth-2
+# fetch pipeline (and halving pad waste on small corpora).
+DEFAULT_MEGA = 2
 
 
 def _mega_factor() -> int:
@@ -895,26 +903,33 @@ class DeviceEngine:
                 if pipelined:
                     drain_upto(g_i)  # overlap: drain g-1 while g computes
 
-            # first group entirely on the main thread: a cache-miss
-            # compile here must not overlap the upload threads'
-            # device_puts (XLA:CPU backend_compile races concurrent
-            # transfers — segfaults)
-            flat0, nreal0 = [], []
-            for lo in groups[0]:
-                ins, nr = upload_slot(lo)
-                flat0.extend(ins)
-                nreal0.append(nr)
-            dispatch_group(0, flat0, nreal0)
-
-            rest = slots[m:]
+            # On XLA:CPU the first group uploads on the main thread: a
+            # cache-miss compile there must not overlap the upload
+            # threads' device_puts (backend_compile races concurrent
+            # transfers — segfaults). On accelerators ALL groups upload
+            # through the pool: one device_put stream runs ~21 MB/s on
+            # the tunnel vs ~46 overlapped, and a mega group is m
+            # chunks, so a single-stream first group gates the whole
+            # dispatch (measured: the entire first-group upload
+            # serialized ahead of compute).
+            g0 = 0
+            if not pipelined:
+                flat0, nreal0 = [], []
+                for lo in groups[0]:
+                    ins, nr = upload_slot(lo)
+                    flat0.extend(ins)
+                    nreal0.append(nr)
+                dispatch_group(0, flat0, nreal0)
+                g0 = 1
+            rest = slots[g0 * m :]
             with ThreadPoolExecutor(max_workers=4) as upool:
                 futs = {}
                 for s_i in range(min(UPLOAD_AHEAD, len(rest))):
                     futs[s_i] = upool.submit(upload_slot, rest[s_i])
-                for g_i in range(1, len(groups)):
+                for g_i in range(g0, len(groups)):
                     flat, nreals = [], []
                     for j in range(m):
-                        s_i = (g_i - 1) * m + j
+                        s_i = (g_i - g0) * m + j
                         ins, nr = futs.pop(s_i).result()
                         nxt = s_i + UPLOAD_AHEAD
                         if nxt < len(rest):
@@ -924,13 +939,16 @@ class DeviceEngine:
                     dispatch_group(g_i, flat, nreals)
         else:
             fn = self._pipeline3(C, K)
-            # first chunk entirely on the main thread (see above)
-            inputs0, nreal0 = upload(los[0])
-            tok0, header0 = fn(*targs, *inputs0)
-            pending.append([tok0, None, nreal0, los[0], 0])
-            group_hdrs.append(header0)
-            group_members.append([0])
-            rest = los[1:]
+            rest = los
+            if not pipelined:
+                # first chunk on the main thread (XLA:CPU compile /
+                # concurrent-transfer race, see the mega branch)
+                inputs0, nreal0 = upload(los[0])
+                tok0, header0 = fn(*targs, *inputs0)
+                pending.append([tok0, None, nreal0, los[0], 0])
+                group_hdrs.append(header0)
+                group_members.append([0])
+                rest = los[1:]
             with ThreadPoolExecutor(max_workers=4) as upool:
                 futs = {}
                 for lo in rest[:UPLOAD_AHEAD]:
