@@ -3,30 +3,46 @@
 Prints ONE json line:
     {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
 
-vs_baseline is measured against the reference library's own single-thread
-throughput on this machine's CPU with the identical vocabulary and
-pattern (the reference's published numbers, BASELINE.md, were ~6.4 MB/s
-single-thread / ~38 MB/s peak on unspecified hardware).
+vs_baseline is measured against the reference library's own throughput on
+this machine's CPU with the identical vocabulary and pattern (the
+reference's published numbers, BASELINE.md, were ~6.4 MB/s single-thread /
+~38 MB/s peak on unspecified hardware).
 
 Offline-safe: the real o200k_base vocab cannot be downloaded in this
 environment, so a same-scale vocabulary is trained locally (cached) with
 the real o200k split pattern; the reference library is given the same
 vocab, so the comparison is apples-to-apples and byte-exact parity is
 asserted on every run.
+
+Robustness: the TPU tunnel on this box can be down for hours, and a cold
+executable cache makes the first device compile cost minutes. The bench
+therefore (a) measures every host/reference row FIRST, in this process,
+with no device contact; (b) runs the entire device section in a child
+process under a hard deadline (BENCH_DEVICE_TIMEOUT_S, default 2100 s);
+and (c) ALWAYS prints the final JSON line — a dead tunnel or a blown
+compile budget degrades the device fields to 0 and the headline to the
+host configuration instead of timing out the whole benchmark.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Persistent caches (trained bench vocab, scanner/vocab artifacts, XLA
+# executables) live inside the repo: /tmp is wiped between sessions and a
+# cold executable cache costs minutes of TPU compile time per program.
+os.environ.setdefault("TIKTOKEN_TPU_CACHE_DIR", os.path.join(_REPO, ".cache"))
 
 CORPUS_MB = float(os.environ.get("BENCH_CORPUS_MB", "64"))
 VOCAB_SIZE = int(os.environ.get("BENCH_VOCAB", "100000"))
-ROW = int(os.environ.get("BENCH_ROW", "2048"))
+DEVICE_TIMEOUT_S = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "2100"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def log(msg: str) -> None:
@@ -93,11 +109,15 @@ def make_bench_corpus(n_chars: int, seed: int) -> str:
     return "".join(out)
 
 
-def get_vocab_and_corpus():
+def get_vocab():
     from tiktoken_tpu.load import dump_tiktoken_bpe, load_tiktoken_bpe
     from tiktoken_tpu.ops.artifacts import _artifact_dir
     import tiktoken_tpu_ext.openai_public as pub
 
+    committed = os.path.join(_REPO, "assets", f"bench_vocab2_{VOCAB_SIZE}.tiktoken")
+    if os.path.exists(committed):
+        log(f"loading committed bench vocab {committed}")
+        return load_tiktoken_bpe(committed)
     cache_dir = _artifact_dir() or "/tmp/tiktoken-tpu-compiled"
     os.makedirs(cache_dir, exist_ok=True)
     vocab_path = os.path.join(cache_dir, f"bench_vocab2_{VOCAB_SIZE}.tiktoken")
@@ -115,7 +135,10 @@ def get_vocab_and_corpus():
         )
         log(f"trained {len(ranks)} ranks in {time.time()-t0:.0f}s")
         dump_tiktoken_bpe(ranks, vocab_path)
+    return ranks
 
+
+def get_corpus() -> bytes:
     n = int(CORPUS_MB * 1_000_000)
     log(f"building {CORPUS_MB} MB corpus...")
     chunk = make_bench_corpus(2_000_000, seed=7)
@@ -124,7 +147,164 @@ def get_vocab_and_corpus():
     # ensure valid utf-8 at the cut
     while corpus[-1] & 0xC0 == 0x80:
         corpus = corpus[:-1]
-    return ranks, corpus
+    return corpus
+
+
+def split_docs(corpus: bytes) -> list[str]:
+    docs = []
+    step = 1_000_000
+    for i in range(0, len(corpus), step):
+        d = corpus[i : i + step]
+        while d and d[-1] & 0xC0 == 0x80:
+            d = d[:-1]
+        docs.append(d.decode("utf-8", errors="ignore"))
+    return docs
+
+
+def build_encoding(ranks):
+    import tiktoken_tpu
+    import tiktoken_tpu_ext.openai_public as pub
+
+    return tiktoken_tpu.Encoding(
+        "bench_o200k",
+        pat_str=pub.o200k_pat_str,
+        mergeable_ranks=ranks,
+        special_tokens={"<|endoftext|>": len(ranks)},
+    )
+
+
+def sample_indices(docs) -> list[int]:
+    return list(range(0, len(docs), max(1, len(docs) // 8)))
+
+
+def timed(enc, docs, total_bytes, strategy: str, numpy_out: bool = False):
+    """Median-of-REPS rate over the identical full corpus.
+
+    Only the parity-sample documents' tokens are retained from each run:
+    keeping a full 64 MB corpus's list[list[int]] alive across rows (~15M
+    tracked PyLongs per result) makes every later gen2 GC collection scan
+    them, measured as a ~3x slowdown of later list-output rows. The
+    perf_counter brackets exclude the del/collect."""
+    import gc
+
+    idx = sample_indices(docs)
+    rates, sampled = [], None
+    for _ in range(REPS):
+        gc.collect()
+        t0 = time.perf_counter_ns()
+        if numpy_out:
+            tokens, offsets = enc.encode_corpus_to_numpy(docs, strategy=strategy)
+        else:
+            result = enc.encode_corpus(docs, strategy=strategy)
+        t1 = time.perf_counter_ns()
+        rates.append(total_bytes / ((t1 - t0) / 1e9) / 1e6)
+        if numpy_out:
+            sampled = {i: tokens[offsets[i] : offsets[i + 1]] for i in idx}
+            del tokens, offsets
+        else:
+            sampled = {i: result[i] for i in idx}
+            del result
+    return statistics.median(rates), sampled
+
+
+def check_parity(docs, sampled, ranks) -> bool:
+    """Byte-exact spot check vs the installed reference library."""
+    import tiktoken
+    import tiktoken_tpu_ext.openai_public as pub
+
+    oracle = tiktoken.Encoding(
+        "bench_oracle", pat_str=pub.o200k_pat_str, mergeable_ranks=ranks,
+        special_tokens={"<|endoftext|>": len(ranks)},
+    )
+    return all(
+        list(sampled[i]) == oracle.encode_ordinary(docs[i]) for i in sampled
+    )
+
+
+# ====================
+# Device child: everything that can hang (tunnel) or compile for minutes
+# runs here, under the parent's hard deadline. Prints one JSON line.
+# ====================
+
+def device_child(corpus_path: str) -> None:
+    ranks = get_vocab()
+    with open(corpus_path, "rb") as f:
+        corpus = f.read()
+    docs = split_docs(corpus)
+    total_bytes = sum(len(d.encode()) for d in docs)
+    enc = build_encoding(ranks)
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    engine = enc.device_engine
+    log(f"dfa states={engine.dfa.n_states}, "
+        f"pair table={engine.pair_table.n_pairs} pairs, "
+        f"buckets={engine.pair_table.n_buckets}")
+
+    # worst_case=True also pre-compiles the cap-overflow retry variant so
+    # a rare dense chunk can never inject a multi-minute compile into a
+    # timed section
+    log("warmup/compile...")
+    t0 = time.time()
+    enc.warmup(worst_case=True)
+    _ = enc.encode_corpus(docs[:2], strategy="device")
+    warmup_s = time.time() - t0
+    log(f"warmup done in {warmup_s:.0f}s")
+
+    log(f"timing device-only encode_corpus (median of {REPS})...")
+    device_mbs, device_tokens = timed(enc, docs, total_bytes, "device")
+    log(f"device-only: {device_mbs:.2f} MB/s")
+    parity = check_parity(docs, device_tokens, ranks)
+    log(f"device parity vs reference: {parity}")
+
+    # hybrid rows: the production multi-core configuration; recorded on
+    # 1-core boxes too so the auto policy stays auditable
+    log("timing hybrid rows...")
+    hybrid_mbs, _r = timed(enc, docs, total_bytes, "hybrid")
+    hybrid_numpy_mbs, hybrid_tokens = timed(enc, docs, total_bytes, "hybrid",
+                                            numpy_out=True)
+    parity = parity and check_parity(docs, hybrid_tokens, ranks)
+    log(f"hybrid: {hybrid_mbs:.2f} | hybrid-numpy: {hybrid_numpy_mbs:.2f}")
+
+    print(json.dumps({
+        "ok": True,
+        "parity": parity,
+        "device_only": round(device_mbs, 2),
+        "hybrid": round(hybrid_mbs, 2),
+        "hybrid_numpy": round(hybrid_numpy_mbs, 2),
+        "warmup_s": round(warmup_s, 1),
+    }))
+
+
+def run_device_child(corpus_path: str) -> dict:
+    """Spawn the device section under a deadline; never raises."""
+    import subprocess
+
+    dead = {"ok": False, "parity": True, "device_only": 0.0,
+            "hybrid": 0.0, "hybrid_numpy": 0.0, "warmup_s": 0.0}
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-child",
+             corpus_path],
+            stdout=subprocess.PIPE, stderr=None, timeout=DEVICE_TIMEOUT_S,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"DEVICE SECTION TIMED OUT after {DEVICE_TIMEOUT_S:.0f}s — "
+            "host-only results")
+        return dead
+    except Exception as e:  # noqa: BLE001 - the bench must always finish
+        log(f"device section failed to launch: {e!r}")
+        return dead
+    if r.returncode != 0:
+        log(f"device section exited rc={r.returncode} — host-only results")
+        return dead
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        log("device section produced no JSON — host-only results")
+        return dead
 
 
 def probe_native_backend(timeout_s: float = 240.0) -> bool:
@@ -133,7 +313,7 @@ def probe_native_backend(timeout_s: float = 240.0) -> bool:
     hours, in which case jax.devices() HANGS rather than raising — a
     direct call here would turn the whole benchmark into a timeout.
     Probing in a child process keeps this process clean; on failure the
-    bench falls back to the CPU backend and says so in the JSON."""
+    bench skips the device section and says so in the JSON."""
     import subprocess
 
     try:
@@ -148,149 +328,50 @@ def probe_native_backend(timeout_s: float = 240.0) -> bool:
 
 
 def main() -> None:
-    import numpy as np
+    if len(sys.argv) > 1 and sys.argv[1] == "--device-child":
+        device_child(sys.argv[2])
+        return
 
-    import tiktoken_tpu
-    import tiktoken_tpu_ext.openai_public as pub
-
-    ranks, corpus = get_vocab_and_corpus()
-
-    log("probing native backend...")
-    native_ok = probe_native_backend()
-    import jax
-
-    if not native_ok:
-        log("NATIVE BACKEND UNAVAILABLE (tunnel down?) — CPU fallback")
-        jax.config.update("jax_platforms", "cpu")
-    platform = "tpu" if native_ok else "cpu-fallback"
-    log(f"devices: {jax.devices()}")
-
-    enc = tiktoken_tpu.Encoding(
-        "bench_o200k",
-        pat_str=pub.o200k_pat_str,
-        mergeable_ranks=ranks,
-        special_tokens={"<|endoftext|>": len(ranks)},
-    )
-
-    # split the corpus into documents like scripts/benchmark.py would
-    docs = []
-    step = 1_000_000
-    for i in range(0, len(corpus), step):
-        d = corpus[i : i + step]
-        while d and d[-1] & 0xC0 == 0x80:
-            d = d[:-1]
-        docs.append(d.decode("utf-8", errors="ignore"))
+    ranks = get_vocab()
+    corpus = get_corpus()
+    docs = split_docs(corpus)
     total_bytes = sum(len(d.encode()) for d in docs)
 
-    engine = enc.device_engine
-    log(f"dfa states={engine.dfa.n_states}, "
-        f"pair table={engine.pair_table.n_pairs} pairs, "
-        f"buckets={engine.pair_table.n_buckets}")
+    # ---- host + reference rows first: no device contact, cannot hang ----
+    enc = build_encoding(ranks)
+    _ = enc.encode_corpus(docs[:1], strategy="host")  # build the native core
 
-    # warmup (compile the device chunk shape + build the native core);
-    # worst_case=True also pre-compiles the cap-overflow retry variant so
-    # a rare dense chunk can never inject a multi-minute compile into a
-    # timed section. In cpu-fallback mode the device strategy is skipped
-    # outright: compiling the production chunk geometry on XLA:CPU takes
-    # tens of minutes (the round-2 multichip-gate lesson) and a CPU
-    # "device path" number would not describe the TPU anyway.
-    import statistics
-
-    log("warmup/compile...")
-    if native_ok:
-        enc.warmup(worst_case=True)
-        _ = enc.encode_corpus(docs[:2], strategy="device")
-    _ = enc.encode_corpus(docs[:1], strategy="host")
-
-    # every configuration: median of 3 runs over the IDENTICAL full
-    # corpus (a best-of on a sub-sample is neither reproducible nor
-    # comparable run-to-run)
-    # Only the parity-sample documents' tokens are retained from each
-    # run: keeping a full 64 MB corpus's list[list[int]] alive across
-    # rows (~15M tracked PyLongs per result) makes every later gen2 GC
-    # collection scan them, measured as a ~3x slowdown of later
-    # list-output rows. perf_counter brackets exclude the del/collect.
-    import gc
-
-    sample_idx = list(range(0, len(docs), max(1, len(docs) // 8)))
-
-    def timed(strategy: str, n: int = 3, numpy_out: bool = False):
-        rates, sampled = [], None
-        for _ in range(n):
-            gc.collect()
-            t0 = time.perf_counter_ns()
-            if numpy_out:
-                result = enc.encode_corpus_to_numpy(docs, strategy=strategy)
-            else:
-                result = enc.encode_corpus(docs, strategy=strategy)
-            t1 = time.perf_counter_ns()
-            rates.append(total_bytes / ((t1 - t0) / 1e9) / 1e6)
-            sampled = {i: result[i] for i in sample_idx}
-            del result
-        return statistics.median(rates), sampled
-
-    device_only_mbs = 0.0
-    if native_ok:
-        log("timing device-only encode_corpus (median of 3)...")
-        device_only_mbs, device_only_tokens = timed("device")
-        log(f"device-only: {device_only_mbs:.2f} MB/s")
-
-    log("timing host-only encode_corpus (median of 3)...")
-    host_mbs, _r = timed("host")
+    log(f"timing host-only encode_corpus (median of {REPS})...")
+    host_mbs, host_tokens = timed(enc, docs, total_bytes, "host")
     log(f"host-only: {host_mbs:.2f} MB/s")
+    parity = check_parity(docs, host_tokens, ranks)
 
-    log("timing host encode_corpus_to_numpy (median of 3)...")
-    host_numpy_mbs, _r = timed("host", numpy_out=True)
+    log(f"timing host encode_corpus_to_numpy (median of {REPS})...")
+    host_numpy_mbs, host_numpy_tokens = timed(enc, docs, total_bytes, "host",
+                                              numpy_out=True)
     log(f"host-numpy: {host_numpy_mbs:.2f} MB/s")
-
-    strategy = enc.resolve_corpus_strategy("auto" if native_ok else "host")
-    log(f"timing encode_corpus (auto -> {strategy}, median of 3)...")
-    device_mbs, device_tokens = timed(strategy)
-
-    log(f"timing encode_corpus_to_numpy (auto -> {strategy}, median of 3)...")
-    numpy_mbs, _r = timed(strategy, numpy_out=True)
-    log(f"auto-numpy: {numpy_mbs:.2f} MB/s")
-    if strategy == "host" and native_ok:
-        # the auto policy keeps a 1-core host off hybrid; record the
-        # hybrid numbers anyway so the policy stays auditable
-        log("timing hybrid rows (median of 3, for the record)...")
-        hybrid_mbs, _r = timed("hybrid")
-        hybrid_numpy_mbs, _r = timed("hybrid", numpy_out=True)
-        log(f"hybrid: {hybrid_mbs:.2f} | hybrid-numpy: {hybrid_numpy_mbs:.2f}")
-    else:
-        hybrid_mbs, hybrid_numpy_mbs = device_mbs, numpy_mbs
-
-    # parity spot check vs the reference library on a sample
-    import tiktoken
-
-    oracle = tiktoken.Encoding(
-        "bench_oracle", pat_str=pub.o200k_pat_str, mergeable_ranks=ranks,
-        special_tokens={"<|endoftext|>": len(ranks)},
-    )
-    parity = all(
-        list(device_tokens[i]) == oracle.encode_ordinary(docs[i])
-        for i in sample_idx
-    )
-    if native_ok:
-        # the device pipeline must stay byte-exact even when auto
-        # resolves to a host strategy
-        parity = parity and all(
-            list(device_only_tokens[i]) == oracle.encode_ordinary(docs[i])
-            for i in sample_idx
-        )
-    log(f"parity vs reference: {parity}")
+    parity = parity and check_parity(docs, host_numpy_tokens, ranks)
+    log(f"host parity vs reference: {parity}")
 
     # reference baselines on the same host and the IDENTICAL corpus,
-    # median of 3 like every row above: single-thread, its best
+    # median of REPS like every row above: single-thread, its best
     # multi-threaded configuration (published peak ~16 threads,
     # BASELINE.md; capped at this box's core count), and its fastest
     # array-output configuration (per-doc encode_to_numpy, zero-copy
     # buffer protocol, in the same thread pool) — the reference's
     # analog of encode_corpus_to_numpy, so the headline compares
     # best-faith config to best-faith config.
-    def ref_timed(fn, n: int = 3):
+    import tiktoken
+    import tiktoken_tpu_ext.openai_public as pub
+
+    oracle = tiktoken.Encoding(
+        "bench_oracle", pat_str=pub.o200k_pat_str, mergeable_ranks=ranks,
+        special_tokens={"<|endoftext|>": len(ranks)},
+    )
+
+    def ref_timed(fn):
         rates = []
-        for _ in range(n):
+        for _ in range(REPS):
             t0 = time.perf_counter_ns()
             fn()
             t1 = time.perf_counter_ns()
@@ -313,15 +394,44 @@ def main() -> None:
 
     ref_numpy_mbs = ref_timed(ref_numpy_batch)
     ref_best = max(ref_mbs, ref8_mbs, ref_numpy_mbs)
+
+    # ---- device section: child process under a hard deadline ----
+    log("probing native backend...")
+    native_ok = probe_native_backend()
+    if native_ok:
+        from tiktoken_tpu.ops.artifacts import _artifact_dir
+
+        corpus_path = os.path.join(_artifact_dir(), "bench_corpus.bin")
+        with open(corpus_path, "wb") as f:
+            f.write(corpus)
+        dev = run_device_child(corpus_path)
+    else:
+        log("NATIVE BACKEND UNAVAILABLE (tunnel down?) — host-only results")
+        dev = {"ok": False, "parity": True, "device_only": 0.0,
+               "hybrid": 0.0, "hybrid_numpy": 0.0, "warmup_s": 0.0}
+    platform = "tpu" if dev["ok"] else ("tpu-unreachable" if native_ok else "cpu-fallback")
+    parity = parity and dev["parity"]
+
+    # auto scheduling: hybrid on multi-core hosts with a live device,
+    # host otherwise (resolve_corpus_strategy; the device child's rows
+    # stand in for the hybrid resolution so this process never touches
+    # the backend)
+    if dev["ok"] and (os.cpu_count() or 1) > 1:
+        strategy = "hybrid"
+        auto_mbs, auto_numpy_mbs = dev["hybrid"], dev["hybrid_numpy"]
+    else:
+        strategy = "host"
+        auto_mbs, auto_numpy_mbs = host_mbs, host_numpy_mbs
     log(
-        f"node: {numpy_mbs:.1f} MB/s | device-only: {device_only_mbs:.1f}"
+        f"node: {auto_numpy_mbs:.1f} MB/s | device-only: {dev['device_only']:.1f}"
         f" | reference 1-thread: {ref_mbs:.1f} | {n_thr}-thread: {ref8_mbs:.1f}"
         f" | ref-numpy: {ref_numpy_mbs:.1f}"
     )
 
     if not parity:
         # a wrong tokenizer has no throughput
-        device_mbs = device_only_mbs = numpy_mbs = 0.0
+        auto_mbs = auto_numpy_mbs = 0.0
+        dev["device_only"] = dev["hybrid"] = dev["hybrid_numpy"] = 0.0
 
     # The headline is the fastest faithful corpus configuration under
     # auto scheduling (array output — the corpus-scale analog of the
@@ -332,23 +442,24 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "o200k-pattern corpus encode to uint32 arrays, byte-exact (auto scheduling)",
-                "value": round(numpy_mbs, 2),
+                "value": round(auto_numpy_mbs, 2),
                 "unit": "MB/s",
-                "vs_baseline": round(numpy_mbs / max(ref_best, 1e-9), 2),
-                "list_out": round(device_mbs, 2),
-                "device_only": round(device_only_mbs, 2),
+                "vs_baseline": round(auto_numpy_mbs / max(ref_best, 1e-9), 2),
+                "list_out": round(auto_mbs, 2),
+                "device_only": dev["device_only"],
                 "host_only": round(host_mbs, 2),
                 "host_numpy": round(host_numpy_mbs, 2),
-                "hybrid": round(hybrid_mbs, 2),
-                "hybrid_numpy": round(hybrid_numpy_mbs, 2),
+                "hybrid": dev["hybrid"],
+                "hybrid_numpy": dev["hybrid_numpy"],
                 "ref_1thread": round(ref_mbs, 2),
                 "ref_8thread": round(ref8_mbs, 2),
                 "ref_numpy": round(ref_numpy_mbs, 2),
-                "vs_ref_1thread": round(numpy_mbs / max(ref_mbs, 1e-9), 2),
+                "vs_ref_1thread": round(auto_numpy_mbs / max(ref_mbs, 1e-9), 2),
                 "platform": platform,
                 "resolved_strategy": strategy,
+                "device_warmup_s": dev["warmup_s"],
                 "corpus_mb": round(total_bytes / 1e6, 1),
-                "timing": "median of 3, identical full corpus for all rows",
+                "timing": f"median of {REPS}, identical full corpus for all rows",
             }
         )
     )

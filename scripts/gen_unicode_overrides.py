@@ -83,41 +83,49 @@ def main() -> None:
         cat17_sets[sc] = set(regex.findall(rf"\p{{{sc}}}", plane_text))
         print(f"regex-module {sc}: {len(cat17_sets[sc])} cps", file=sys.stderr)
 
+    # Probe the reference engine over the WHOLE plane for every category
+    # (one pass per category in 4096-char chunks is ~260 oracle calls).
+    # ADD/REMOVE correct unicodedata for the DFA tables; SKEW marks every
+    # codepoint where the Python regex module (the pure-Python fast-path
+    # arbiter) disagrees with the reference engine, so texts containing
+    # one defer to the compiled scanner DFA. Probing only
+    # unicodedata-vs-regex candidates (the old scheme) missed codepoints
+    # where BOTH local sources agree with each other but not with the
+    # reference.
     add: dict[str, list[int]] = defaultdict(list)
     remove: dict[str, list[int]] = defaultdict(list)
-    all_candidates: set[int] = set()
+    skew: set[int] = set()
     for sc in SUBCATS:
-        candidates = []
-        for cp in cat15:
-            in15 = cat15[cp] == sc
-            in17 = chr(cp) in cat17_sets[sc]
-            if in15 != in17:
-                candidates.append(chr(cp))
-        all_candidates.update(ord(c) for c in candidates)
-        if not candidates:
-            continue
-        truth = rust_matches(sc, candidates)
-        for ch in candidates:
+        truth = rust_matches(sc, all_chars)
+        for ch in all_chars:
             cp = ord(ch)
             in15 = cat15[cp] == sc
+            in17 = ch in cat17_sets[sc]
             in_truth = ch in truth
             if in_truth and not in15:
                 add[sc].append(cp)
             elif in15 and not in_truth:
                 remove[sc].append(cp)
+            if in17 != in_truth:
+                skew.add(cp)
         print(
-            f"{sc}: {len(candidates)} candidates -> +{len(add[sc])} -{len(remove[sc])}",
+            f"{sc}: +{len(add[sc])} -{len(remove[sc])} vs unicodedata, "
+            f"skew {len(skew)} cumulative",
             file=sys.stderr,
         )
 
-    # \w under the reference engine, probed exhaustively (one pass over
-    # the whole plane in 4096-char chunks is ~300 oracle calls): the Rust
-    # regex crate defines \w via UTS#18 word characters (Alphabetic +
-    # Mark + Decimal_Number + Connector_Punctuation + Join_Control),
-    # which no local data source reproduces exactly.
+    # \w under the reference engine: the Rust regex crate defines \w via
+    # UTS#18 word characters (Alphabetic + Mark + Decimal_Number +
+    # Connector_Punctuation + Join_Control), which no local data source
+    # reproduces exactly. The regex module's own \w feeds SKEW so custom
+    # \w patterns on the pure-Python fast path stay byte-exact: any text
+    # where the two engines could split differently defers to the DFA.
     word_truth = rust_matches("word_probe", all_chars, pat=r"\w")
     word_cps = sorted(ord(c) for c in word_truth)
     print(f"\\w: {len(word_cps)} cps under the reference engine", file=sys.stderr)
+    regex_word = set(regex.findall(r"\w", plane_text))
+    skew.update(ord(c) for c in regex_word.symmetric_difference(word_truth))
+    all_candidates = skew
 
     with open("tiktoken_tpu/ops/_unicode_overrides.py", "w") as f:
         f.write(
@@ -137,8 +145,10 @@ def main() -> None:
                 f.write(f"    {sc!r}: {to_ranges(remove[sc])!r},\n")
         f.write("}\n\n")
         f.write(
-            "# Codepoints whose category differs between local unicodedata and the\n"
-            "# Python regex module; the regex module cannot arbitrate splits on these.\n"
+            "# Codepoints where the Python regex module disagrees with the\n"
+            "# reference engine (categories or \\w); the regex module cannot\n"
+            "# arbitrate splits on these — texts containing one defer to the\n"
+            "# compiled scanner DFA.\n"
         )
         f.write(f"SKEW = {to_ranges(sorted(all_candidates))!r}\n\n")
         f.write(

@@ -43,12 +43,13 @@ if "jax" in sys.modules:
 # reproduces on the current jax; if it ever returns, set
 # TIKTOKEN_TPU_TEST_EXEC_CACHE=0.
 if os.environ.get("TIKTOKEN_TPU_TEST_EXEC_CACHE", "1") != "0":
-    import tempfile
-
     import jax
 
+    # repo-local: /tmp is wiped between CI sessions, which would make
+    # every fresh session pay the full ~67 min cold compile bill again
     _cache_dir = os.path.join(
-        tempfile.gettempdir(), "tiktoken-tpu-compiled", "xla-cpu-tests"
+        os.path.dirname(os.path.abspath(__file__)), "..", ".cache",
+        "xla-cpu-tests",
     )
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -286,3 +286,27 @@ def test_harmony_specials_shape():
 
     assert _HARMONY_NAMED[200012] == "<|call|>"
     assert 200018 not in _HARMONY_NAMED  # endofprompt comes from the base table
+
+
+def test_unknown_corpus_strategy_rejected():
+    # A typo like "hyrbid" must raise, not silently run the hybrid path
+    # (which would compile device programs the caller never asked for).
+    enc = make_encoding("cl100k")
+    with pytest.raises(ValueError, match="unknown corpus strategy"):
+        enc.encode_corpus(["hello"], strategy="hyrbid")
+    with pytest.raises(ValueError, match="unknown corpus strategy"):
+        enc.resolve_corpus_strategy("fastest")
+
+
+def test_encode_corpus_all_empty_docs_numpy():
+    # The all-empty-docs early return must honor array output: uint32
+    # per-doc arrays, and encode_corpus_to_numpy concatenates to uint32.
+    import numpy as np
+
+    enc = make_encoding("cl100k")
+    per_doc = enc.device_engine.encode_corpus3(["", "", ""], as_numpy=True)
+    assert all(isinstance(a, np.ndarray) and a.dtype == np.uint32 and a.size == 0
+               for a in per_doc)
+    tokens, offsets = enc.encode_corpus_to_numpy(["", ""], strategy="device")
+    assert tokens.dtype == np.uint32 and tokens.size == 0
+    assert list(offsets) == [0, 0, 0]

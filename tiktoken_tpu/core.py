@@ -305,6 +305,11 @@ class Encoding:
         CPU-only also run host-only — compiling the production chunk
         geometry on XLA:CPU takes tens of minutes and contributes
         nothing. Hosts without a C++ toolchain run device-only."""
+        if strategy not in ("auto", "host", "device", "hybrid"):
+            raise ValueError(
+                f"unknown corpus strategy {strategy!r}; expected one of "
+                "'auto', 'host', 'device', 'hybrid'"
+            )
         if strategy != "auto":
             return strategy
         if not device:

@@ -27,6 +27,18 @@ def _artifact_dir() -> str | None:
             if d == "":
                 return None
             return os.path.join(d, "compiled")
+    # XDG-style home cache: /tmp is routinely wiped between process
+    # lifetimes, and losing the executable cache costs minutes of TPU
+    # compile time at the next startup (the reference keeps its vocab
+    # cache in tempdir, tiktoken/load.py:35-47, but its equivalent cold
+    # cost is seconds, not minutes). Fall back to tempdir when home is
+    # unavailable (e.g. sandboxed CI).
+    home = os.path.expanduser("~")
+    if home and home != "~" and os.path.isdir(home):
+        return os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.join(home, ".cache")),
+            "tiktoken-tpu", "compiled",
+        )
     return os.path.join(tempfile.gettempdir(), "tiktoken-tpu-compiled")
 
 

@@ -71,7 +71,13 @@ def _mega_factor() -> int:
         try:
             return max(1, int(v))
         except ValueError:
-            return DEFAULT_MEGA
+            # garbage value: warn and treat as unset, so the XLA:CPU
+            # gate below still protects CPU boxes from the lax.map
+            # program's multi-minute compile
+            import warnings
+
+            warnings.warn(f"ignoring unparseable TIKTOKEN_TPU_MEGA={v!r}",
+                          stacklevel=2)
     # mega exists to amortize the tunnel's per-call roundtrip; XLA:CPU
     # has no tunnel, and the lax.map wrapper only adds compile time
     # (which the CPU backend pays in minutes, e.g. the test suite and
@@ -1030,6 +1036,8 @@ class DeviceEngine:
         B = pc.row_off.shape[0]
         self.timing["pack_s"] = _time.perf_counter() - _t0
         if B == 0:
+            if as_numpy:
+                return [np.empty(0, np.uint32) for _ in out]
             return out
         results, C = self._dispatch_chunks3(
             pc, chunk_rows or DEFAULT_CHUNK_ROWS
