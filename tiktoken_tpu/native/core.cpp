@@ -27,56 +27,97 @@ constexpr int ACC_BITS = 5;
 constexpr int DEAD = 0;
 constexpr int START = 1;
 
-// Allocation-free token-bytes -> rank table: open addressing over
-// (ptr, len) keys pointing into the stable decoder blob; queries are
-// string_views into the caller's piece buffer (no std::string churn on
-// the hot path). Exact: hash match is always confirmed by memcmp.
+// Allocation-free token-bytes -> rank table: open addressing with the
+// first 8 key bytes stored INLINE in the slot. Tokens are zipf-short
+// (~6.4 B mean on real vocabs), so almost every probe — whole-piece hits
+// and the 2 pair probes per merge round alike — resolves with one slot
+// read and zero decoder-blob touches; only keys longer than 8 bytes
+// memcmp their tail against the stable blob. Exact: length + prefix
+// (+ tail for long keys) are all confirmed.
 struct RankTable {
-    std::vector<const char*> key_ptr;
-    std::vector<uint32_t> key_len;  // 0 = empty slot (tokens are nonempty)
-    std::vector<uint32_t> vals;
+    struct Entry {
+        uint64_t prefix;    // exact little-endian encoding of key[:8]
+        const char* ptr;    // full key bytes (tail compare for len > 8)
+        uint32_t len;       // 0 = empty slot (tokens are nonempty)
+        uint32_t val;
+    };
+    std::vector<Entry> slots;
     size_t mask = 0;
 
-    static uint64_t hash(const char* p, size_t n) {
-        uint64_t h = 1469598103934665603ull;  // FNV-1a 64
-        for (size_t i = 0; i < n; ++i) {
-            h ^= (unsigned char)p[i];
-            h *= 1099511628211ull;
+    // Exact value of the first min(n,8) bytes: overlapped unaligned
+    // loads OR together to the contiguous little-endian integer, and the
+    // encoding is injective per length (length is compared separately).
+    // Never reads past p + n.
+    static inline uint64_t load_prefix(const char* p, size_t n) {
+        if (n >= 8) {
+            uint64_t x;
+            std::memcpy(&x, p, 8);
+            return x;
         }
-        return h ^ (h >> 29);
+        if (n >= 4) {
+            uint32_t lo, hi;
+            std::memcpy(&lo, p, 4);
+            std::memcpy(&hi, p + n - 4, 4);
+            return (uint64_t)lo | ((uint64_t)hi << (8 * (n - 4)));
+        }
+        uint64_t x = (unsigned char)p[0];
+        if (n > 1) x |= (uint64_t)(unsigned char)p[1] << 8;
+        if (n > 2) x |= (uint64_t)(unsigned char)p[2] << 16;
+        return x;
+    }
+
+    static inline uint64_t mix(uint64_t x) {
+        x ^= x >> 33;
+        x *= 0xff51afd7ed558ccdull;
+        x ^= x >> 33;
+        x *= 0xc4ceb9fe1a85ec53ull;
+        x ^= x >> 33;
+        return x;
+    }
+
+    static inline uint64_t hash(uint64_t prefix, const char* p, size_t n) {
+        uint64_t h = mix(prefix ^ (n * 0x9E3779B97F4A7C15ull));
+        for (size_t i = 8; i < n; i += 8) {
+            uint64_t w = 0;
+            size_t r = n - i < 8 ? n - i : 8;
+            std::memcpy(&w, p + i, r);
+            h = mix(h ^ w);
+        }
+        return h;
     }
 
     void init(size_t n_keys) {
         size_t size = 16;
         while (size < n_keys * 2) size <<= 1;
-        key_ptr.assign(size, nullptr);
-        key_len.assign(size, 0);
-        vals.assign(size, RANK_MAX);
+        slots.assign(size, Entry{0, nullptr, 0, RANK_MAX});
         mask = size - 1;
     }
 
     void insert(const char* p, size_t n, uint32_t v) {
-        size_t i = hash(p, n) & mask;
-        while (key_len[i]) {
-            if (key_len[i] == n && std::memcmp(key_ptr[i], p, n) == 0) {
-                vals[i] = v;
+        uint64_t pre = load_prefix(p, n);
+        size_t i = hash(pre, p, n) & mask;
+        while (slots[i].len) {
+            if (slots[i].len == n && slots[i].prefix == pre &&
+                (n <= 8 || std::memcmp(slots[i].ptr + 8, p + 8, n - 8) == 0)) {
+                slots[i].val = v;
                 return;
             }
             i = (i + 1) & mask;
         }
-        key_ptr[i] = p;
-        key_len[i] = (uint32_t)n;
-        vals[i] = v;
+        slots[i] = Entry{pre, p, (uint32_t)n, v};
     }
 
     inline uint32_t find(const char* p, size_t n) const {
-        size_t i = hash(p, n) & mask;
-        while (key_len[i]) {
-            if (key_len[i] == n && std::memcmp(key_ptr[i], p, n) == 0)
-                return vals[i];
+        uint64_t pre = load_prefix(p, n);
+        size_t i = hash(pre, p, n) & mask;
+        for (;;) {
+            const Entry& e = slots[i];
+            if (!e.len) return RANK_MAX;
+            if (e.len == n && e.prefix == pre &&
+                (n <= 8 || std::memcmp(e.ptr + 8, p + 8, n - 8) == 0))
+                return e.val;
             i = (i + 1) & mask;
         }
-        return RANK_MAX;
     }
 };
 
