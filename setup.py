@@ -14,6 +14,8 @@ exactly as before.
 
 from __future__ import annotations
 
+import platform
+
 from setuptools import Extension, setup
 from setuptools.command.build_ext import build_ext
 
@@ -41,7 +43,9 @@ setup(
         Extension(
             "tiktoken_tpu.native._ttpu_core",
             sources=["tiktoken_tpu/native/core.cpp"],
-            extra_compile_args=["-O3", "-std=c++17", "-fPIC", "-pthread"],
+            extra_compile_args=["-O3", "-std=c++17", "-fPIC", "-pthread"]
+            + (["-msse4.2"] if platform.machine() in ("x86_64", "AMD64")
+               else []),
             extra_link_args=["-pthread"],
             optional=True,
         )

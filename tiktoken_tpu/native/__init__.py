@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import platform
 import subprocess
 import tempfile
 
@@ -61,7 +62,10 @@ def load_library():
                 tmp = so_path + f".{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-pthread", _SRC, "-o", tmp],
+                     "-pthread"]
+                    + (["-msse4.2"]
+                       if platform.machine() in ("x86_64", "AMD64") else [])
+                    + [_SRC, "-o", tmp],
                     check=True, capture_output=True, timeout=300,
                 )
                 os.replace(tmp, so_path)

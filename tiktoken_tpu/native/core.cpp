@@ -20,6 +20,24 @@
 #include <vector>
 #include <queue>
 
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>  // _mm_crc32_u64 (compiled with -msse4.2 on x86)
+#include <xmmintrin.h>  // _mm_prefetch
+#define TTPU_PREFETCH(p) _mm_prefetch((p), _MM_HINT_T0)
+static inline uint64_t ttpu_hash64(uint64_t k) {
+    return _mm_crc32_u64(0, k);
+}
+#else
+#define TTPU_PREFETCH(p) __builtin_prefetch(p)
+static inline uint64_t ttpu_hash64(uint64_t k) {
+    // murmur-style finalizer: same role as the crc path (portable builds)
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdull;
+    k ^= k >> 33;
+    return k;
+}
+#endif
+
 namespace {
 
 constexpr uint32_t RANK_MAX = 0xFFFFFFFFu;
@@ -76,6 +94,18 @@ struct RankTable {
     }
 
     static inline uint64_t hash(uint64_t prefix, const char* p, size_t n) {
+#if defined(__SSE4_2__)
+        // crc32c chain: 3-cycle latency per 8 bytes vs ~10 for the
+        // multiply mix — the probe's hash cost drops below the load cost
+        uint64_t h = _mm_crc32_u64(_mm_crc32_u64(0x9E3779B9u, prefix), n);
+        for (size_t i = 8; i < n; i += 8) {
+            uint64_t w = 0;
+            size_t r = n - i < 8 ? n - i : 8;
+            std::memcpy(&w, p + i, r);
+            h = _mm_crc32_u64(h, w);
+        }
+        return h;
+#else
         uint64_t h = mix(prefix ^ (n * 0x9E3779B97F4A7C15ull));
         for (size_t i = 8; i < n; i += 8) {
             uint64_t w = 0;
@@ -84,6 +114,7 @@ struct RankTable {
             h = mix(h ^ w);
         }
         return h;
+#endif
     }
 
     void init(size_t n_keys) {
@@ -109,7 +140,15 @@ struct RankTable {
 
     inline uint32_t find(const char* p, size_t n) const {
         uint64_t pre = load_prefix(p, n);
-        size_t i = hash(pre, p, n) & mask;
+        return find_prehashed(p, n, pre, hash(pre, p, n));
+    }
+
+    // probe with a caller-computed (prefix, hash): the scan loop computes
+    // these as soon as a piece boundary is known and prefetches the slot,
+    // so by resolve time the line is usually already in cache
+    inline uint32_t find_prehashed(const char* p, size_t n, uint64_t pre,
+                                   uint64_t h) const {
+        size_t i = h & mask;
         for (;;) {
             const Entry& e = slots[i];
             if (!e.len) return RANK_MAX;
@@ -118,6 +157,64 @@ struct RankTable {
                 return e.val;
             i = (i + 1) & mask;
         }
+    }
+
+    inline const char* slot_addr(uint64_t h) const {
+        return (const char*)&slots[h & mask];
+    }
+};
+
+// (left_rank, right_rank) -> rank of the concatenated bytes. During a
+// merge every part is a vocab token (parts start as single-byte tokens
+// and a merge only fires when the concatenation is itself in the vocab),
+// so pair candidates can be probed by TOKEN-ID PAIR instead of by byte
+// span: one 8-byte key, one crc32 hash, one slot load — no byte compare,
+// no decoder-blob chase. Built at load time from every two-token split of
+// every vocab token, which is exactly the set {(a, b) in VxV :
+// bytes(a)+bytes(b) in V} (same table the device merge kernel uses,
+// ops/pair_table.py). Byte-exact with the byte-keyed probe by
+// construction; the byte-keyed path remains for vocabularies missing
+// single-byte tokens (reference semantics: src/lib.rs:140-196 keys by
+// concatenated bytes — rank order is identical).
+struct PairTable {
+    struct E {
+        uint64_t key;
+        uint32_t val;
+        uint32_t pad;
+    };
+    static constexpr uint64_t EMPTY = ~0ull;  // (RANK_MAX<<32|RANK_MAX): no
+                                              // real pair — both sides are
+                                              // valid ranks < RANK_MAX
+    std::vector<E> slots;
+    size_t mask = 0;
+
+    static inline size_t hash(uint64_t k) { return (size_t)ttpu_hash64(k); }
+    void init(size_t n) {
+        size_t s = 16;
+        while (s < n * 2) s <<= 1;
+        slots.assign(s, E{EMPTY, RANK_MAX, 0});
+        mask = s - 1;
+    }
+    void insert(uint64_t k, uint32_t v) {
+        size_t i = hash(k) & mask;
+        while (slots[i].key != EMPTY) {
+            if (slots[i].key == k) { slots[i].val = v; return; }
+            i = (i + 1) & mask;
+        }
+        slots[i].key = k;
+        slots[i].val = v;
+    }
+    inline uint32_t find(uint64_t k) const {
+        size_t i = hash(k) & mask;
+        for (;;) {
+            const E& e = slots[i];
+            if (e.key == k) return e.val;
+            if (e.key == EMPTY) return RANK_MAX;
+            i = (i + 1) & mask;
+        }
+    }
+    inline const char* slot_addr(uint64_t k) const {
+        return (const char*)&slots[hash(k) & mask];
     }
 };
 
@@ -129,6 +226,9 @@ struct Core {
 
     // vocabulary
     RankTable ranks;                 // token bytes -> rank
+    PairTable pairs;                 // (rank, rank) -> merged rank
+    uint32_t byte_rank[256];         // single-byte token ranks (RANK_MAX gaps)
+    bool pairs_ok = false;
     std::string decoder_blob;        // all token bytes (key storage)
     std::vector<int64_t> decoder_off;  // [max_rank+1], -1 gaps
     std::vector<int32_t> decoder_len;  // [max_rank+1]
@@ -178,6 +278,52 @@ static void byte_pair_encode(const Core& c, const char* piece, size_t n,
     for (size_t i = 0; i + 1 < nparts; ++i) {
         out.push_back(c.ranks.find(piece + parts[i], parts[i + 1] - parts[i]));
     }
+}
+
+// Rank-keyed variant of byte_pair_encode: same greedy lowest-rank-first /
+// leftmost-tie-break order, but pair candidates are probed in the
+// PairTable by token-id pair (see PairTable docs for the equivalence
+// argument). Thread-local scratch: no allocation per piece. Returns false
+// (caller falls back to the byte-keyed path) when some input byte has no
+// single-byte token.
+static bool byte_pair_encode_ranks(const Core& c, const char* piece,
+                                   size_t n, std::vector<uint32_t>& out) {
+    static thread_local std::vector<uint32_t> rk_buf, pr_buf;
+    if (rk_buf.size() < n + 1) { rk_buf.resize(n + 1); pr_buf.resize(n + 1); }
+    uint32_t* rk = rk_buf.data();
+    uint32_t* pr = pr_buf.data();
+    for (size_t i = 0; i < n; ++i) {
+        uint32_t r = c.byte_rank[(unsigned char)piece[i]];
+        if (r == RANK_MAX) return false;
+        rk[i] = r;
+    }
+    // all n-1 initial pair keys are known up front: issue the slot
+    // prefetches first so the probes overlap (the table is L3-resident;
+    // serial probes would pay ~70 cycles each)
+    for (size_t i = 0; i + 1 < n; ++i)
+        TTPU_PREFETCH(c.pairs.slot_addr(((uint64_t)rk[i] << 32) | rk[i + 1]));
+    for (size_t i = 0; i + 1 < n; ++i)
+        pr[i] = c.pairs.find(((uint64_t)rk[i] << 32) | rk[i + 1]);
+    pr[n - 1] = RANK_MAX;  // sentinel: shifts left on merges, stays last
+    size_t m = n;
+    while (true) {
+        uint32_t best = RANK_MAX;
+        size_t bi = 0;
+        for (size_t i = 0; i + 1 < m; ++i)
+            if (pr[i] < best) { best = pr[i]; bi = i; }
+        if (best == RANK_MAX) break;
+        // merge parts (bi, bi+1): the pair value IS the merged token rank
+        rk[bi] = best;
+        std::memmove(rk + bi + 1, rk + bi + 2, (m - bi - 2) * 4);
+        std::memmove(pr + bi + 1, pr + bi + 2, (m - bi - 2) * 4);
+        m -= 1;
+        if (bi > 0)
+            pr[bi - 1] = c.pairs.find(((uint64_t)rk[bi - 1] << 32) | rk[bi]);
+        pr[bi] = (bi + 1 < m)
+            ? c.pairs.find(((uint64_t)rk[bi] << 32) | rk[bi + 1]) : RANK_MAX;
+    }
+    out.insert(out.end(), rk, rk + m);
+    return true;
 }
 
 // Heap variant for large pieces: O(m log m) merges with lazy invalidation
@@ -243,10 +389,30 @@ static int64_t encode_doc(const Core& c, const char* data, size_t n,
     size_t last_piece_tokens_before = 0;
     const int32_t* T = c.packed.data();
     size_t i = 0;
-    // table entries are (next_state * 512) << ACC_BITS | (accept+1), so a
-    // step is one AND-OR index and one load: idx = base | byte
-    constexpr int32_t BASE_MASK = ~((1 << ACC_BITS) - 1);
+    // one-deep find pipeline: the whole-piece probe of piece k resolves
+    // only after piece k+1 has been scanned — its hash is computed and
+    // the slot prefetched the moment the boundary is known, so the
+    // rank-table load (L3-resident table, ~70 cycles) overlaps the next
+    // piece's DFA scan instead of stalling after it
+    bool have_pending = false;
+    size_t pen_i = 0, pen_end = 0;
+    uint64_t pen_pre = 0, pen_h = 0;
+    auto resolve = [&](size_t pi, size_t pend, uint64_t pre, uint64_t h) {
+        last_piece_tokens_before = out.size();
+        // whole-piece vocabulary hit short-circuits the merge
+        uint32_t hit = c.ranks.find_prehashed(data + pi, pend - pi, pre, h);
+        if (hit != RANK_MAX) {
+            out.push_back(hit);
+        } else if (pend - pi >= 512) {
+            byte_pair_encode_large(c, data + pi, pend - pi, out);
+        } else if (!c.pairs_ok ||
+                   !byte_pair_encode_ranks(c, data + pi, pend - pi, out)) {
+            byte_pair_encode(c, data + pi, pend - pi, out);
+        }
+    };
     while (i < n) {
+        // table entries are (next_state * 512) << ACC_BITS | (accept+1),
+        // so a step is one AND-OR index and one load: idx = base | byte
         int32_t base = START * 512;
         long last_end = -1;
         size_t p = i;
@@ -266,18 +432,15 @@ static int64_t encode_doc(const Core& c, const char* data, size_t n,
             return 0;
         }
         size_t end = (size_t)last_end;
-        last_piece_tokens_before = out.size();
-        // whole-piece vocabulary hit short-circuits the merge
-        uint32_t hit = c.ranks.find(data + i, end - i);
-        if (hit != RANK_MAX) {
-            out.push_back(hit);
-        } else if (end - i >= 512) {
-            byte_pair_encode_large(c, data + i, end - i, out);
-        } else {
-            byte_pair_encode(c, data + i, end - i, out);
-        }
+        uint64_t pre = RankTable::load_prefix(data + i, end - i);
+        uint64_t h = RankTable::hash(pre, data + i, end - i);
+        TTPU_PREFETCH(c.ranks.slot_addr(h));
+        if (have_pending) resolve(pen_i, pen_end, pen_pre, pen_h);
+        have_pending = true;
+        pen_i = i; pen_end = end; pen_pre = pre; pen_h = h;
         i = end;
     }
+    if (have_pending) resolve(pen_i, pen_end, pen_pre, pen_h);
     return (int64_t)(out.size() - last_piece_tokens_before);
 }
 
@@ -314,6 +477,34 @@ void* ttpu_new(const int32_t* packed, int n_states, int n_classes,
             c->decoder_len[token_ranks[t]] =
                 (int32_t)(token_offsets[t + 1] - token_offsets[t]);
         }
+        for (unsigned b = 0; b < 256; ++b) {
+            char ch = (char)b;
+            c->byte_rank[b] = c->ranks.find(&ch, 1);
+        }
+        // pair table: every two-token split of every vocab token
+        // (count pass first so the table is sized to the real pair count)
+        size_t n_pairs = 0;
+        for (int pass = 0; pass < 2; ++pass) {
+            if (pass == 1) c->pairs.init(n_pairs ? n_pairs : 1);
+            for (int64_t t = 0; t < n_tokens; ++t) {
+                const char* w = c->decoder_blob.data() + token_offsets[t];
+                size_t len = (size_t)(token_offsets[t + 1] - token_offsets[t]);
+                for (size_t i = 1; i < len; ++i) {
+                    uint32_t a = c->ranks.find(w, i);
+                    if (a == RANK_MAX) continue;
+                    uint32_t b = c->ranks.find(w + i, len - i);
+                    if (b == RANK_MAX) continue;
+                    if (pass == 0)
+                        ++n_pairs;
+                    else
+                        c->pairs.insert(((uint64_t)a << 32) | b,
+                                        token_ranks[t]);
+                }
+            }
+        }
+        c->pairs_ok = true;
+    } else {
+        for (unsigned b = 0; b < 256; ++b) c->byte_rank[b] = RANK_MAX;
     }
     return c;
 }
@@ -345,7 +536,8 @@ int64_t ttpu_encode_piece(void* h, const char* data, int64_t n,
     uint32_t hit = c->ranks.find(data, (size_t)n);
     if (hit != RANK_MAX) toks.push_back(hit);
     else if ((size_t)n >= 512) byte_pair_encode_large(*c, data, (size_t)n, toks);
-    else byte_pair_encode(*c, data, (size_t)n, toks);
+    else if (!c->pairs_ok || !byte_pair_encode_ranks(*c, data, (size_t)n, toks))
+        byte_pair_encode(*c, data, (size_t)n, toks);
     int64_t m = (int64_t)toks.size();
     if (m > cap) m = cap;
     std::memcpy(out, toks.data(), (size_t)m * 4);
