@@ -380,6 +380,19 @@ class Encoding:
         (reference: tiktoken/core.py:138-162, src/py.rs:186-248)."""
         import numpy as np
 
+        # host-strategy fast path: the native batch call already produces
+        # exactly (tokens, offsets) — skip the per-doc view split and the
+        # re-concatenation pass (two full extra passes over the output)
+        native = self._core_bpe._native_core()
+        resolved = self.resolve_corpus_strategy(strategy, device=device)
+        if (not device or resolved == "host") and native:
+            import os as _os
+
+            docs = [t if isinstance(t, str) else t.decode("utf-8")
+                    for t in texts]
+            n_thr = max(1, min(32, _os.cpu_count() or 1))
+            return native.encode_ordinary_batch_arrays(docs, n_thr)
+
         per_doc = self._encode_corpus_impl(
             texts, device=device, row_capacity=row_capacity,
             strategy=strategy, numpy_out=True, chunk_rows=chunk_rows,
