@@ -41,7 +41,11 @@ os.environ.setdefault("TIKTOKEN_TPU_CACHE_DIR", os.path.join(_REPO, ".cache"))
 
 CORPUS_MB = float(os.environ.get("BENCH_CORPUS_MB", "64"))
 VOCAB_SIZE = int(os.environ.get("BENCH_VOCAB", "100000"))
-DEVICE_TIMEOUT_S = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "2100"))
+# budget for the device child: with a warm persistent executable cache the
+# whole section takes ~10 min; cold it would need hours of tunnel compile
+# time (HARDWARE.md), so the child is cut at this deadline and the bench
+# reports host rows with device fields zeroed rather than timing out whole
+DEVICE_TIMEOUT_S = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "1500"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
