@@ -181,7 +181,8 @@ def sample_indices(docs) -> list[int]:
     return list(range(0, len(docs), max(1, len(docs) // 8)))
 
 
-def timed(enc, docs, total_bytes, strategy: str, numpy_out: bool = False):
+def timed(enc, docs, total_bytes, strategy: str, numpy_out: bool = False,
+          chunk_rows: int | None = None):
     """Median-of-REPS rate over the identical full corpus.
 
     Only the parity-sample documents' tokens are retained from each run:
@@ -197,9 +198,11 @@ def timed(enc, docs, total_bytes, strategy: str, numpy_out: bool = False):
         gc.collect()
         t0 = time.perf_counter_ns()
         if numpy_out:
-            tokens, offsets = enc.encode_corpus_to_numpy(docs, strategy=strategy)
+            tokens, offsets = enc.encode_corpus_to_numpy(
+                docs, strategy=strategy, chunk_rows=chunk_rows)
         else:
-            result = enc.encode_corpus(docs, strategy=strategy)
+            result = enc.encode_corpus(docs, strategy=strategy,
+                                       chunk_rows=chunk_rows)
         t1 = time.perf_counter_ns()
         rates.append(total_bytes / ((t1 - t0) / 1e9) / 1e6)
         if numpy_out:
@@ -230,7 +233,7 @@ def check_parity(docs, sampled, ranks) -> bool:
 # runs here, under the parent's hard deadline. Prints one JSON line.
 # ====================
 
-def device_child(corpus_path: str) -> None:
+def device_child(corpus_path: str, chunk_rows: int | None = None) -> None:
     ranks = get_vocab()
     with open(corpus_path, "rb") as f:
         corpus = f.read()
@@ -244,20 +247,25 @@ def device_child(corpus_path: str) -> None:
     engine = enc.device_engine
     log(f"dfa states={engine.dfa.n_states}, "
         f"pair table={engine.pair_table.n_pairs} pairs, "
-        f"buckets={engine.pair_table.n_buckets}")
+        f"buckets={engine.pair_table.n_buckets}"
+        + (f", chunk_rows={chunk_rows}" if chunk_rows else ""))
 
     # worst_case=True also pre-compiles the cap-overflow retry variant so
     # a rare dense chunk can never inject a multi-minute compile into a
     # timed section
     log("warmup/compile...")
     t0 = time.time()
-    enc.warmup(worst_case=True)
-    _ = enc.encode_corpus(docs[:2], strategy="device")
+    if chunk_rows:
+        enc.warmup(chunk_rows=chunk_rows, worst_case=True)
+    else:
+        enc.warmup(worst_case=True)
+    _ = enc.encode_corpus(docs[:2], strategy="device", chunk_rows=chunk_rows)
     warmup_s = time.time() - t0
     log(f"warmup done in {warmup_s:.0f}s")
 
     log(f"timing device-only encode_corpus (median of {REPS})...")
-    device_mbs, device_tokens = timed(enc, docs, total_bytes, "device")
+    device_mbs, device_tokens = timed(enc, docs, total_bytes, "device",
+                                      chunk_rows=chunk_rows)
     log(f"device-only: {device_mbs:.2f} MB/s")
     parity = check_parity(docs, device_tokens, ranks)
     log(f"device parity vs reference: {parity}")
@@ -265,9 +273,11 @@ def device_child(corpus_path: str) -> None:
     # hybrid rows: the production multi-core configuration; recorded on
     # 1-core boxes too so the auto policy stays auditable
     log("timing hybrid rows...")
-    hybrid_mbs, _r = timed(enc, docs, total_bytes, "hybrid")
+    hybrid_mbs, _r = timed(enc, docs, total_bytes, "hybrid",
+                           chunk_rows=chunk_rows)
     hybrid_numpy_mbs, hybrid_tokens = timed(enc, docs, total_bytes, "hybrid",
-                                            numpy_out=True)
+                                            numpy_out=True,
+                                            chunk_rows=chunk_rows)
     parity = parity and check_parity(docs, hybrid_tokens, ranks)
     log(f"hybrid: {hybrid_mbs:.2f} | hybrid-numpy: {hybrid_numpy_mbs:.2f}")
 
@@ -278,37 +288,65 @@ def device_child(corpus_path: str) -> None:
         "hybrid": round(hybrid_mbs, 2),
         "hybrid_numpy": round(hybrid_numpy_mbs, 2),
         "warmup_s": round(warmup_s, 1),
+        "device_chunk_rows": chunk_rows or 0,
     }))
 
 
 def run_device_child(corpus_path: str) -> dict:
-    """Spawn the device section under a deadline; never raises."""
+    """Spawn the device section under a deadline; never raises.
+
+    Two attempts: the production chunk geometry first, then — if its
+    compile blows the first sub-deadline (cold executable cache on a
+    degraded tunnel, HARDWARE.md) — the small 2048-row tier, whose
+    programs compile in minutes even at 20x tunnel slowdown. The small
+    tier is floor-dominated (~dispatch roundtrip per small chunk), so
+    its number underestimates the production rate, but a measured
+    device row beats a zeroed one."""
     import subprocess
 
     dead = {"ok": False, "parity": True, "device_only": 0.0,
-            "hybrid": 0.0, "hybrid_numpy": 0.0, "warmup_s": 0.0}
+            "hybrid": 0.0, "hybrid_numpy": 0.0, "warmup_s": 0.0,
+            "device_chunk_rows": 0}
+    deadline = time.time() + DEVICE_TIMEOUT_S
+    for chunk_rows, share in ((None, 0.6), (2048, 1.0)):
+        remaining = deadline - time.time()
+        if remaining <= 60:
+            break
+        timeout_s = min(DEVICE_TIMEOUT_S * share, remaining)
+        attempt = _run_device_attempt(corpus_path, chunk_rows, timeout_s)
+        if attempt is not None:
+            return attempt
+    return dead
+
+
+def _run_device_attempt(corpus_path, chunk_rows, timeout_s):
+    import subprocess
+
+    args = [sys.executable, os.path.abspath(__file__), "--device-child",
+            corpus_path]
+    if chunk_rows:
+        args.append(str(chunk_rows))
     try:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device-child",
-             corpus_path],
-            stdout=subprocess.PIPE, stderr=None, timeout=DEVICE_TIMEOUT_S,
+            args, stdout=subprocess.PIPE, stderr=None, timeout=timeout_s,
             text=True,
         )
     except subprocess.TimeoutExpired:
-        log(f"DEVICE SECTION TIMED OUT after {DEVICE_TIMEOUT_S:.0f}s — "
-            "host-only results")
-        return dead
+        log(f"device attempt (chunk_rows={chunk_rows or 'production'}) "
+            f"timed out after {timeout_s:.0f}s")
+        return None
     except Exception as e:  # noqa: BLE001 - the bench must always finish
         log(f"device section failed to launch: {e!r}")
-        return dead
+        return None
     if r.returncode != 0:
-        log(f"device section exited rc={r.returncode} — host-only results")
-        return dead
+        log(f"device attempt (chunk_rows={chunk_rows or 'production'}) "
+            f"exited rc={r.returncode}")
+        return None
     try:
         return json.loads(r.stdout.strip().splitlines()[-1])
     except Exception:
-        log("device section produced no JSON — host-only results")
-        return dead
+        log("device attempt produced no JSON")
+        return None
 
 
 def probe_native_backend(timeout_s: float = 240.0) -> bool:
@@ -333,7 +371,8 @@ def probe_native_backend(timeout_s: float = 240.0) -> bool:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--device-child":
-        device_child(sys.argv[2])
+        device_child(sys.argv[2],
+                     int(sys.argv[3]) if len(sys.argv) > 3 else None)
         return
 
     ranks = get_vocab()
@@ -462,6 +501,7 @@ def main() -> None:
                 "platform": platform,
                 "resolved_strategy": strategy,
                 "device_warmup_s": dev["warmup_s"],
+                "device_chunk_rows": dev.get("device_chunk_rows", 0),
                 "corpus_mb": round(total_bytes / 1e6, 1),
                 "timing": f"median of {REPS}, identical full corpus for all rows",
             }
