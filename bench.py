@@ -467,7 +467,8 @@ def main() -> None:
         auto_mbs, auto_numpy_mbs = host_mbs, host_numpy_mbs
     log(
         f"node: {auto_numpy_mbs:.1f} MB/s | device-only: {dev['device_only']:.1f}"
-        f" | reference 1-thread: {ref_mbs:.1f} | {n_thr}-thread: {ref8_mbs:.1f}"
+        f" | reference 1-thread: {ref_mbs:.1f}"
+        f" | reference {n_thr}-thread: {ref8_mbs:.1f}"
         f" | ref-numpy: {ref_numpy_mbs:.1f}"
     )
 
