@@ -310,3 +310,23 @@ def test_encode_corpus_all_empty_docs_numpy():
     tokens, offsets = enc.encode_corpus_to_numpy(["", ""], strategy="device")
     assert tokens.dtype == np.uint32 and tokens.size == 0
     assert list(offsets) == [0, 0, 0]
+
+
+def test_encode_corpus_to_numpy_host_fast_path():
+    # The resolved-host numpy corpus encode returns the native batch
+    # arrays directly (no per-doc view split / re-concat); output must be
+    # identical to the general per-doc path and to encode_ordinary, for
+    # str and bytes inputs, including empty docs.
+    import numpy as np
+
+    enc = make_encoding("cl100k")
+    docs = ["hello world", "", "a\n b 12345", "naïve 東京 🌍", "x" * 2000]
+    tokens, offsets = enc.encode_corpus_to_numpy(docs, strategy="host")
+    assert tokens.dtype == np.uint32 and offsets.dtype == np.int64
+    for d, s in enumerate(docs):
+        assert list(tokens[offsets[d]:offsets[d + 1]]) == enc.encode_ordinary(s)
+    tb, ob = enc.encode_corpus_to_numpy([s.encode() for s in docs],
+                                        strategy="host")
+    assert np.array_equal(tokens, tb) and np.array_equal(offsets, ob)
+    t0, o0 = enc.encode_corpus_to_numpy([], strategy="host")
+    assert t0.size == 0 and list(o0) == [0]
