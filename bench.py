@@ -295,28 +295,28 @@ def device_child(corpus_path: str, chunk_rows: int | None = None) -> None:
 def run_device_child(corpus_path: str) -> dict:
     """Spawn the device section under a deadline; never raises.
 
-    Two attempts: the production chunk geometry first, then — if its
-    compile blows the first sub-deadline (cold executable cache on a
-    degraded tunnel, HARDWARE.md) — the small 2048-row tier, whose
-    programs compile in minutes even at 20x tunnel slowdown. The small
-    tier is floor-dominated (~dispatch roundtrip per small chunk), so
-    its number underestimates the production rate, but a measured
-    device row beats a zeroed one."""
-    import subprocess
-
+    Two attempts: the small 2048-row tier first — its programs compile
+    in minutes even at 20x tunnel slowdown (HARDWARE.md), so it almost
+    always lands a measured device row — then the production chunk
+    geometry with the remaining budget, whose result wins when its
+    (much larger) compile fits, i.e. whenever the persistent executable
+    cache is warm or the tunnel is healthy. The small tier is
+    dispatch-floor dominated so its number underestimates production;
+    device_chunk_rows in the JSON says which geometry the reported rows
+    came from (0 = production)."""
     dead = {"ok": False, "parity": True, "device_only": 0.0,
             "hybrid": 0.0, "hybrid_numpy": 0.0, "warmup_s": 0.0,
             "device_chunk_rows": 0}
     deadline = time.time() + DEVICE_TIMEOUT_S
-    for chunk_rows, share in ((None, 0.6), (2048, 1.0)):
-        remaining = deadline - time.time()
-        if remaining <= 60:
-            break
-        timeout_s = min(DEVICE_TIMEOUT_S * share, remaining)
-        attempt = _run_device_attempt(corpus_path, chunk_rows, timeout_s)
-        if attempt is not None:
-            return attempt
-    return dead
+    small = _run_device_attempt(corpus_path, 2048,
+                                min(DEVICE_TIMEOUT_S * 0.45,
+                                    deadline - time.time()))
+    remaining = deadline - time.time()
+    production = (
+        _run_device_attempt(corpus_path, None, remaining)
+        if remaining > 120 else None
+    )
+    return production or small or dead
 
 
 def _run_device_attempt(corpus_path, chunk_rows, timeout_s):
@@ -467,8 +467,8 @@ def main() -> None:
         auto_mbs, auto_numpy_mbs = host_mbs, host_numpy_mbs
     log(
         f"node: {auto_numpy_mbs:.1f} MB/s | device-only: {dev['device_only']:.1f}"
-        f" | reference 1-thread: {ref_mbs:.1f}"
-        f" | reference {n_thr}-thread: {ref8_mbs:.1f}"
+        f" | reference sequential: {ref_mbs:.1f}"
+        f" | reference pool({n_thr}): {ref8_mbs:.1f}"
         f" | ref-numpy: {ref_numpy_mbs:.1f}"
     )
 
