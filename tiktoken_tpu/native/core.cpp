@@ -436,8 +436,19 @@ static int64_t encode_doc(const Core& c, const char* data, size_t n,
             return 0;
         }
         size_t end = (size_t)last_end;
-        uint64_t pre = RankTable::load_prefix(data + i, end - i);
-        uint64_t h = RankTable::hash(pre, data + i, end - i);
+        // masked full-width prefix load: identical to load_prefix's
+        // contiguous little-endian encoding whenever 8 bytes are in
+        // bounds (everything but the last pieces of a document), without
+        // its length branches
+        size_t plen = end - i;
+        uint64_t pre;
+        if (i + 8 <= n) {
+            std::memcpy(&pre, data + i, 8);
+            if (plen < 8) pre &= (~0ull) >> (8 * (8 - plen));
+        } else {
+            pre = RankTable::load_prefix(data + i, plen);
+        }
+        uint64_t h = RankTable::hash(pre, data + i, plen);
         TTPU_PREFETCH(c.ranks.slot_addr(h));
         if (have_pending) resolve(pen_i, pen_end, pen_pre, pen_h);
         have_pending = true;
