@@ -308,15 +308,19 @@ def run_device_child(corpus_path: str) -> dict:
             "hybrid": 0.0, "hybrid_numpy": 0.0, "warmup_s": 0.0,
             "device_chunk_rows": 0}
     deadline = time.time() + DEVICE_TIMEOUT_S
-    small = _run_device_attempt(corpus_path, 2048,
-                                min(DEVICE_TIMEOUT_S * 0.45,
-                                    deadline - time.time()))
-    remaining = deadline - time.time()
-    production = (
-        _run_device_attempt(corpus_path, None, remaining)
-        if remaining > 120 else None
-    )
-    return production or small or dead
+    best = None
+    # small -> mid -> production; a later (larger-geometry) success
+    # replaces an earlier one, so the reported rows come from the
+    # largest geometry whose compile fits the budget
+    for chunk_rows, share in ((2048, 0.3), (8192, 0.45), (None, 1.0)):
+        remaining = deadline - time.time()
+        if remaining <= 120:
+            break
+        timeout_s = min(DEVICE_TIMEOUT_S * share, remaining)
+        attempt = _run_device_attempt(corpus_path, chunk_rows, timeout_s)
+        if attempt is not None:
+            best = attempt
+    return best or dead
 
 
 def _run_device_attempt(corpus_path, chunk_rows, timeout_s):
