@@ -45,7 +45,7 @@ VOCAB_SIZE = int(os.environ.get("BENCH_VOCAB", "100000"))
 # whole section takes ~10 min; cold it would need hours of tunnel compile
 # time (HARDWARE.md), so the child is cut at this deadline and the bench
 # reports host rows with device fields zeroed rather than timing out whole
-DEVICE_TIMEOUT_S = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "1500"))
+DEVICE_TIMEOUT_S = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "1200"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
