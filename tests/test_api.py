@@ -330,3 +330,58 @@ def test_encode_corpus_to_numpy_host_fast_path():
     assert np.array_equal(tokens, tb) and np.array_equal(offsets, ob)
     t0, o0 = enc.encode_corpus_to_numpy([], strategy="host")
     assert t0.size == 0 and list(o0) == [0]
+
+
+def test_device_compile_failure_degrades_one_tier():
+    # A compile-capacity failure (e.g. the C=32768 AOT helper SIGKILLed
+    # on a constrained host) must retry the pure corpus encode one chunk
+    # tier smaller with a warning, not surface an INTERNAL error.
+    import warnings
+
+    import jax
+
+    enc = make_encoding("cl100k")
+    eng = enc.device_engine
+    calls = []
+    real = eng.encode_corpus3
+
+    def flaky(texts, **kw):
+        calls.append(kw.get("chunk_rows"))
+        if kw.get("chunk_rows") is None:  # production tier: "compile" dies
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: HTTP 500: tpu_compile_helper "
+                "subprocess exit signal SIGKILL (9)"
+            )
+        return real(texts, **kw)
+
+    eng.encode_corpus3 = flaky
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = enc.encode_corpus(["hello world", "abc 123"],
+                                    strategy="device")
+        assert calls == [None, 8192], calls
+        assert any("retrying at chunk_rows=8192" in str(x.message) for x in w)
+        assert got == [enc.encode_ordinary("hello world"),
+                       enc.encode_ordinary("abc 123")]
+    finally:
+        eng.encode_corpus3 = real
+
+
+def test_device_non_compile_errors_propagate():
+    import jax
+    import pytest as _pytest
+
+    enc = make_encoding("cl100k")
+    eng = enc.device_engine
+    real = eng.encode_corpus3
+
+    def broken(texts, **kw):
+        raise jax.errors.JaxRuntimeError("INTERNAL: device halted")
+
+    eng.encode_corpus3 = broken
+    try:
+        with _pytest.raises(jax.errors.JaxRuntimeError, match="device halted"):
+            enc.encode_corpus(["hello"], strategy="device")
+    finally:
+        eng.encode_corpus3 = real

@@ -274,10 +274,47 @@ class Encoding:
             eng.char_tables is not None
             and os.environ.get("TIKTOKEN_TPU_PIPELINE", "3") != "2"
         ):
-            return eng.encode_corpus3(
-                texts, host_fallback=self._core_bpe, K=row_capacity,
-                as_numpy=as_numpy, chunk_rows=chunk_rows,
-            )
+            try:
+                return eng.encode_corpus3(
+                    texts, host_fallback=self._core_bpe, K=row_capacity,
+                    as_numpy=as_numpy, chunk_rows=chunk_rows,
+                )
+            except Exception as e:  # compile-capacity degradation below
+                # Large chunk geometries can exceed the compile service's
+                # resource limits on constrained hosts (observed: the
+                # C=32768 program's AOT helper SIGKILLed while C<=8192
+                # compiles fine, HARDWARE.md round 5). Encoding is pure,
+                # so retry the whole corpus one tier smaller rather than
+                # surfacing an INTERNAL compile error for a recoverable
+                # capacity problem. Never silent: a warning names both
+                # geometries.
+                msg = str(e)
+                is_compile = type(e).__name__ == "JaxRuntimeError" and (
+                    "compile" in msg.lower() or "RESOURCE_EXHAUSTED" in msg
+                )
+                if not is_compile:
+                    raise
+                from tiktoken_tpu.ops.engine import (
+                    _CHUNK_TIERS,
+                    DEFAULT_CHUNK_ROWS,
+                )
+
+                cur = chunk_rows or DEFAULT_CHUNK_ROWS
+                smaller = [t for t in _CHUNK_TIERS if 2048 <= t < cur]
+                if not smaller:
+                    raise
+                nxt = max(smaller)
+                import warnings
+
+                warnings.warn(
+                    f"device pipeline compile failed at chunk_rows={cur} "
+                    f"({msg.splitlines()[0][:120]}); retrying at "
+                    f"chunk_rows={nxt}",
+                    stacklevel=2,
+                )
+                return self._device_encode(
+                    texts, row_capacity, as_numpy=as_numpy, chunk_rows=nxt
+                )
         kwargs = {} if row_capacity is None else {"row_capacity": row_capacity}
         out = eng.encode_corpus(texts, host_fallback=self._core_bpe, **kwargs)
         if as_numpy:
